@@ -1,0 +1,152 @@
+"""Unit golden tests: codec round-trip per type (SURVEY.md §5.2-1).
+
+Generalizes the reference's pure-function golden tests
+(converter/schema_test.go:10-62) and write->independent-read round trip
+(converter/convert_test.go:14-50) to every codec with hand-built edge cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vcf2df_spark import codecs
+from vcf2df_spark.codecs import bitpack, fordelta, fsst
+
+
+INT_CASES = {
+    "empty": np.array([], dtype=np.int64),
+    "single": np.array([7], dtype=np.int64),
+    "constant": np.full(100, 42, dtype=np.int64),
+    "sequence": np.arange(1000, dtype=np.int64),
+    "negatives": np.array([-5, -1, 0, 3, -(2**40), 2**40], dtype=np.int64),
+    "max_width": np.array([0, 2**62, 17], dtype=np.int64),
+    "int32": np.array([0, 1, 2, 2**31 - 1], dtype=np.int32),
+    "non_monotone_ts": np.array([100, 50, 200, 200, 1], dtype=np.int64),
+}
+
+STR_CASES = {
+    "empty": np.array([], dtype=object),
+    "single_run": np.array(["a"] * 50, dtype=object),
+    "all_distinct": np.array([f"v{i}" for i in range(64)], dtype=object),
+    "empty_strings": np.array(["", "x", "", "", "y"], dtype=object),
+    "utf8": np.array(["héllo 世界 🙂", "plain", "", "héllo 世界 🙂"], dtype=object),
+    "long_text": np.array(
+        ["the quick brown fox jumps over the lazy dog " * 20,
+         "pack my box with five dozen liquor jugs " * 10,
+         ""],
+        dtype=object,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(INT_CASES))
+@pytest.mark.parametrize("codec", ["bitpack", "fordelta", "raw"])
+def test_int_roundtrip(codec, name):
+    vals = INT_CASES[name]
+    if codec == "fordelta":
+        vals = vals.astype(np.int64)
+    payload, aux, meta = codecs.encode(codec, vals)
+    out = codecs.decode(codec, payload, aux, meta, len(vals))
+    assert np.array_equal(out, vals)
+    if codec != "fordelta":
+        assert out.dtype == vals.dtype
+
+
+@pytest.mark.parametrize("name", list(STR_CASES))
+@pytest.mark.parametrize("codec", ["dict", "rle", "fsst", "raw"])
+def test_str_roundtrip(codec, name):
+    vals = STR_CASES[name]
+    payload, aux, meta = codecs.encode(codec, vals)
+    out = codecs.decode(codec, payload, aux, meta, len(vals))
+    assert out.dtype == object
+    assert list(out) == list(vals)
+
+
+def test_bitpack_width_zero():
+    payload, aux, meta = codecs.encode("bitpack", np.full(10, 5, dtype=np.int64))
+    assert meta["width"] == 0 and payload == b""
+
+
+def test_fordelta_zero_delta():
+    vals = np.array([1000, 1000, 1000], dtype=np.int64)
+    payload, aux, meta = codecs.encode("fordelta", vals)
+    assert meta["width"] == 0
+    assert np.array_equal(codecs.decode("fordelta", payload, aux, meta, 3), vals)
+
+
+def test_dict_compresses_low_cardinality():
+    vals = np.array(["user", "assistant", "tool", "user"] * 1000, dtype=object)
+    payload, aux, meta = codecs.encode("dict", vals)
+    raw_p, raw_a, _ = codecs.encode("raw", vals)
+    assert len(payload) + len(aux) < (len(raw_p) + len(raw_a)) / 4
+
+
+def test_rle_compresses_runs():
+    vals = np.repeat(np.array([f"conv-{i:04d}" for i in range(10)], dtype=object), 500)
+    payload, aux, meta = codecs.encode("rle", vals)
+    assert meta["n_runs"] == 10
+    raw_p, raw_a, _ = codecs.encode("raw", vals)
+    assert len(payload) + len(aux) < (len(raw_p) + len(raw_a)) / 20
+
+
+def test_fsst_compresses_repetitive_text():
+    vals = np.array(
+        ["status: completed successfully with result code %d" % (i % 7)
+         for i in range(500)],
+        dtype=object,
+    )
+    payload, aux, meta = codecs.encode("fsst", vals)
+    raw_p, _, _ = codecs.encode("raw", vals)
+    assert len(payload) + len(aux) < len(raw_p) / 2
+
+
+def test_fsst_escape_byte_255_in_data():
+    # literal 0xFF bytes in utf-8 multi-byte chars stress the escape path
+    vals = np.array(["￿￿", "ÿÿÿ", "a￿b"], dtype=object)
+    payload, aux, meta = codecs.encode("fsst", vals)
+    out = codecs.decode("fsst", payload, aux, meta, 3)
+    assert list(out) == list(vals)
+
+
+def test_fsst_buffer_roundtrip_adversarial():
+    data = bytes(range(256)) * 3 + b"\xff" * 10 + b"ab\xffab\xff\xff"
+    symbols = fsst.train(data)
+    enc = fsst.encode_buffer(data, symbols)
+    assert fsst.decode_buffer(enc, symbols) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=200))
+def test_fordelta_property(xs):
+    vals = np.array(xs, dtype=np.int64)
+    payload, aux, meta = fordelta.encode(vals)
+    assert np.array_equal(fordelta.decode(payload, aux, meta, len(vals)), vals)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=100))
+def test_fsst_property(xs):
+    vals = np.array(xs, dtype=object)
+    payload, aux, meta = fsst.encode(vals)
+    assert list(fsst.decode(payload, aux, meta, len(vals))) == xs
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.binary(max_size=64), min_size=0, max_size=50))
+def test_fsst_raw_bytes_property(chunks):
+    data = b"".join(chunks)
+    symbols = fsst.train(data)
+    assert fsst.decode_buffer(fsst.encode_buffer(data, symbols), symbols) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**50), min_size=1, max_size=100),
+       st.integers(min_value=0, max_value=63))
+def test_pack_unpack_property(xs, extra_width):
+    vals = np.array(xs, dtype=np.uint64)
+    width = max(int(v).bit_length() for v in xs)
+    buf = bitpack.pack_u64(vals, width)
+    assert np.array_equal(bitpack.unpack_u64(buf, width, len(vals)), vals)
