@@ -1,0 +1,73 @@
+"""Decode-verify job: blocks + manifests -> reconstructed table -> verdict.
+
+    spark-submit --py-files vcf2df_spark.zip jobs/decode_verify.py \
+        --warehouse /path/warehouse --source /path/transcripts.parquet
+
+Reference analogue: the independent re-read verification loop
+(``converter/convert_test.go:63-97``) as a first-class job: decode every
+block, reassemble under stable (conv_id, turn_idx) ordering, and compare
+every column bit-identical to the source (ts as unix_micros int64 — the
+north_rule per-turn text-equality invariant plus full bit identity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--source", required=True)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from vcf2df_spark.decode import decode_blocks
+    from vcf2df_spark.encode import normalize_input
+    from vcf2df_spark.session import get_spark
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(master=args.master, app_name="decode_verify")
+    t0 = time.time()
+
+    blocks = spark.read.parquet(f"{args.warehouse}/blocks")
+    decoded = decode_blocks(blocks)
+    source = normalize_input(spark.read.parquet(args.source))
+
+    def canon(df):
+        return df.select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+
+    # distributed bit-identity check: exceptAll in both directions is empty
+    d, s = canon(decoded), canon(source)
+    missing = s.exceptAll(d).count()
+    extra = d.exceptAll(s).count()
+    n_src = s.count()
+    n_dec = d.count()
+    ok = missing == 0 and extra == 0 and n_src == n_dec
+
+    print(json.dumps({
+        "status": "bit-identical" if ok else "MISMATCH",
+        "rows_source": n_src,
+        "rows_decoded": n_dec,
+        "rows_missing": missing,
+        "rows_extra": extra,
+        "wall_sec": round(time.time() - t0, 2),
+    }))
+    if owns_session:
+        spark.stop()
+    if not ok:
+        sys.exit(4)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Encode job: transcripts table -> encoded blocks + manifests.
+
+The spark-submit entry point (north_rule form):
+
+    spark-submit --py-files vcf2df_spark.zip jobs/encode.py \
+        --input /path/transcripts.parquet --out /path/warehouse \
+        --partitions 32 [--job-id JOB] [--fail-after K]
+
+Reference analogue: the CLI conversion entry point ``vcf2df --vcf X --out D``
+(``vcf2df.go:13-37`` -> ``converter/convert.go:17``), generalized to a
+resumable, partition-parallel job. ``--fail-after`` injects a failure after
+K partitions for the resume test (SURVEY.md §5.2-4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True, help="warehouse dir: gets /blocks and /manifests")
+    p.add_argument("--partitions", type=int, default=32)
+    p.add_argument("--job-id", default="job-default")
+    p.add_argument("--master", default=None)
+    p.add_argument("--fail-after", type=int, default=None,
+                   help="encode only the first K pending partitions, then exit(3)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from vcf2df_spark import manifest
+    from vcf2df_spark.blocks import BLOCKS_SCHEMA
+    from vcf2df_spark.encode import _encode_group, normalize_input, with_partition_key
+    from vcf2df_spark.session import get_spark
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(master=args.master, app_name=f"encode:{args.job_id}")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    blocks_path = f"{args.out}/blocks"
+    manifests_path = f"{args.out}/manifests"
+
+    t0 = time.time()
+    df = normalize_input(spark.read.parquet(args.input))
+    keyed = with_partition_key(df, args.partitions)
+
+    # materialize the committed set on the driver: cuts the plan's lineage to
+    # the manifests table we append to below (self-referential read-write)
+    committed_ids = [
+        r.partition_id
+        for r in manifest.committed_partitions(spark, manifests_path, args.job_id).collect()
+    ]
+    n_committed = len(committed_ids)
+    pending = keyed
+    if committed_ids:
+        pending = keyed.filter(~F.col("_pkey").isin(committed_ids))
+
+    truncated = False
+    if args.fail_after is not None:
+        keep = (
+            pending.select("_pkey").distinct().orderBy("_pkey")
+            .limit(args.fail_after)
+        )
+        pending = pending.join(F.broadcast(keep), "_pkey", "inner")
+        truncated = True
+
+    blocks = pending.groupBy("_pkey").applyInPandas(_encode_group, BLOCKS_SCHEMA).cache()
+
+    n_blocks = blocks.count()
+    if n_blocks == 0:
+        print(json.dumps({"job_id": args.job_id, "status": "noop",
+                          "committed_before": n_committed}))
+        if owns_session:
+            spark.stop()
+        return
+
+    # stats from the materialized cache BEFORE writes mutate the warehouse
+    stats = blocks.agg(
+        F.sum(F.when(F.col("column") == "conv_id", F.col("n_rows"))).alias("rows"),
+        F.countDistinct("partition_id").alias("parts"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("enc_bytes").alias("enc"),
+    ).collect()[0]
+    rows = stats["rows"]
+
+    # blocks first (idempotent per-partition overwrite), manifest commit last
+    blocks.write.mode("overwrite").partitionBy("partition_id").parquet(blocks_path)
+    manifests = manifest.build_manifests(blocks, args.job_id, args.input)
+    manifests.write.mode("append").parquet(manifests_path)
+    wall = time.time() - t0
+    print(json.dumps({
+        "job_id": args.job_id,
+        "status": "partial" if truncated else "ok",
+        "committed_before": n_committed,
+        "partitions_encoded": int(stats["parts"]),
+        "rows_encoded": int(rows),
+        "raw_bytes": int(stats["raw"]),
+        "enc_bytes": int(stats["enc"]),
+        "ratio": round(stats["raw"] / max(stats["enc"], 1), 3),
+        "wall_sec": round(wall, 2),
+        "turns_per_sec": int(rows / wall),
+    }))
+    if owns_session:
+        spark.stop()
+    if truncated:
+        sys.exit(3)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Table schemas for the encoded-blocks and manifests tables.
+
+The persistent data model (SURVEY.md §1.4): one block row per
+(partition, chunk, column) holding the codec payload + aux (symbol tables),
+and one manifest row per partition — the queryable analogue of the
+reference's Parquet footer key-value metadata (``converter/convert.go:64``,
+``converter/reservedColumns.go:31-56``) extended with lineage, byte counts
+and commit status (the checkpoint/resume commit log).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+TRANSCRIPT_COLUMNS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("aux", T.BinaryType(), True),
+        T.StructField("meta", T.StringType(), False),  # JSON codec params
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("enc_bytes", T.LongType(), False),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("codecs", T.StringType(), False),  # JSON col->codec list
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("enc_bytes", T.LongType(), False),
+        T.StructField("checksum", T.StringType(), False),
+        T.StructField("input_path", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("committed_at", T.LongType(), False),
+    ]
+)

@@ -1,0 +1,104 @@
+"""Per-partition manifests: lineage, byte accounting, checkpoint/resume.
+
+The manifests table is the engine's commit log — the queryable
+generalization of the reference's self-describing Parquet footer metadata
+(``converter/convert.go:64``, ``converter/reservedColumns.go:31-56``).
+A partition is durable iff its manifest row has status='committed'; the
+encode job left-anti-joins planned partitions against committed manifests
+to resume after failure (SURVEY.md §4.3). Blocks are written partitioned
+by partition_id with dynamic partition overwrite, so re-encoding a
+partition is idempotent.
+
+Sandbox note: the production target is Iceberg (atomic snapshot commits);
+no Iceberg runtime jar ships with this pyspark, so the documented fallback
+is the same layout on plain Parquet — blocks partitioned by partition_id,
+manifests append-only, manifest-write-last as the commit point.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .blocks import MANIFEST_SCHEMA
+
+
+def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFrame:
+    """Aggregate block rows into one committed manifest row per partition.
+
+    Pure DataFrame aggregation (partial+final hash-agg, no custom shuffle):
+    codec map, byte totals, and an order-insensitive checksum from the
+    per-block payload hashes.
+    """
+    per_block_hash = F.sha2(
+        F.concat_ws(
+            "|",
+            F.col("column"),
+            F.col("chunk_idx").cast("string"),
+            F.col("codec"),
+            F.sha2(F.coalesce(F.col("payload"), F.lit(b"")), 256),
+            F.sha2(F.coalesce(F.col("aux"), F.lit(b"")), 256),
+        ),
+        256,
+    )
+    agg = (
+        blocks.withColumn("_bh", per_block_hash)
+        .groupBy("partition_id")
+        .agg(
+            (F.max("chunk_idx") + 1).cast("int").alias("n_chunks"),
+            (F.sum("n_rows") / F.lit(6)).cast("long").alias("n_rows"),
+            F.to_json(
+                F.map_from_entries(
+                    F.array_distinct(F.collect_list(F.struct("column", "codec")))
+                )
+            ).alias("codecs"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sha2(F.concat_ws("", F.sort_array(F.collect_list("_bh"))), 256).alias(
+                "checksum"
+            ),
+        )
+    )
+    return agg.select(
+        F.lit(job_id).alias("job_id"),
+        "partition_id",
+        "n_chunks",
+        "n_rows",
+        "codecs",
+        "raw_bytes",
+        "enc_bytes",
+        "checksum",
+        F.lit(input_path).alias("input_path"),
+        F.lit("committed").alias("status"),
+        F.lit(int(time.time() * 1_000_000)).alias("committed_at"),
+    )
+
+
+def committed_partitions(spark: SparkSession, manifests_path: str, job_id: str) -> DataFrame:
+    """Partitions already durable for this job (empty DF if no manifests yet)."""
+    try:
+        m = spark.read.parquet(manifests_path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA).select("partition_id")
+    return (
+        m.filter((F.col("job_id") == job_id) & (F.col("status") == "committed"))
+        .select("partition_id")
+        .distinct()
+    )
+
+
+def resume_filter(keyed: DataFrame, committed: DataFrame) -> DataFrame:
+    """Drop rows of already-committed partitions (left-anti commit-log join).
+
+    ``committed`` is tiny (one row per partition) — broadcast it so the
+    anti-join is shuffle-free on the big side.
+    """
+    return keyed.join(
+        F.broadcast(committed.withColumnRenamed("partition_id", "_pkey")),
+        on="_pkey",
+        how="left_anti",
+    )

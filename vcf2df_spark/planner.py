@@ -1,0 +1,93 @@
+"""Statistics-driven codec auto-selection.
+
+The engine's optimizer. Mirrors the *move* of the reference's schema
+inference — metadata in, encode plan out (``converter/schema.go:17-107``
+chooses an encoding per declared INFO type) — but drives the choice from
+observed per-chunk data statistics instead of declared types, the way
+Parquet picks per-page encodings below the query optimizer (SURVEY.md §4.2).
+
+Two layers:
+- :func:`column_stats` / :func:`choose_codec`: pure functions, golden-tested
+  like the reference's ``TestDefineSchemaMsg`` (``schema_test.go:10-62``).
+- :func:`encode_best`: measure-and-fallback — encodes with the chosen codec,
+  verifies it actually beats RAW on real bytes, else falls back. Guarantees
+  encoded size <= raw size per chunk (the selector's floor, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from . import codecs
+from .codecs import rle as rle_mod
+
+SAMPLE_ROWS = 65536
+
+
+@dataclass(frozen=True)
+class ColumnStats:
+    n: int
+    ndv: int
+    mean_run_len: float
+    is_int: bool
+    int_min: int = 0
+    int_max: int = 0
+    sorted_frac: float = 0.0  # fraction of non-negative deltas (ints)
+    avg_len: float = 0.0  # strings: mean utf8 length
+
+
+def column_stats(values: np.ndarray) -> ColumnStats:
+    n = len(values)
+    if n == 0:
+        return ColumnStats(0, 0, 0.0, np.asarray(values).dtype != object)
+    sample = values[:SAMPLE_ROWS]
+    ndv = len(pd.unique(sample))
+    runs = len(rle_mod.run_bounds(sample))
+    mean_run = len(sample) / max(runs, 1)
+    if np.asarray(values).dtype != object:
+        ints = np.asarray(sample, dtype=np.int64)
+        deltas = np.diff(ints) if len(ints) > 1 else np.zeros(0, dtype=np.int64)
+        sorted_frac = float((deltas >= 0).mean()) if len(deltas) else 1.0
+        return ColumnStats(
+            n, ndv, mean_run, True,
+            int(ints.min()), int(ints.max()), sorted_frac,
+        )
+    lens = np.fromiter((len(s) for s in sample[:4096]), dtype=np.int64,
+                       count=min(len(sample), 4096))
+    return ColumnStats(n, ndv, mean_run, False, avg_len=float(lens.mean()))
+
+
+def choose_codec(stats: ColumnStats) -> str:
+    """Pure rule-based choice; :func:`encode_best` still measures."""
+    if stats.n == 0:
+        return "raw"
+    if stats.is_int:
+        # near-monotone (timestamps, positions) -> delta beats plain FOR
+        if stats.sorted_frac >= 0.9 and stats.ndv > 256:
+            return "fordelta"
+        return "bitpack"
+    if stats.mean_run_len >= 4.0 and stats.ndv <= stats.n / 4:
+        return "rle"
+    if stats.ndv <= 4096 and stats.ndv <= stats.n / 4:
+        return "dict"
+    return "fsst"
+
+
+def encode_best(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
+    """Encode with the stats-chosen codec; fall back to raw if it loses.
+
+    Returns (codec, payload, aux, meta, raw_bytes).
+    """
+    values = np.asarray(values)
+    raw_payload, raw_aux, raw_meta = codecs.encode("raw", values)
+    raw_bytes = len(raw_payload) + len(raw_aux)
+    codec = choose_codec(column_stats(values))
+    if codec == "raw":
+        return "raw", raw_payload, raw_aux, raw_meta, raw_bytes
+    payload, aux, meta = codecs.encode(codec, values)
+    if len(payload) + len(aux) >= raw_bytes:
+        return "raw", raw_payload, raw_aux, raw_meta, raw_bytes
+    return codec, payload, aux, meta, raw_bytes
