@@ -67,14 +67,46 @@ def test_compression_beats_raw_budget(spark, tmp_path):
     enc_total = int(blocks["enc_bytes"].sum())
     raw_total = int(blocks["raw_bytes"].sum())
     assert enc_total < raw_total, "encoded must beat raw bytes"
-    # expected per-column selections (FIXTURES.md golden expectations)
+    # expected per-column selections under the post-zstd disk objective:
+    # the selector measures what actually hits disk after the sink's zstd,
+    # so plain-zstd-friendly columns may legitimately pick raw
     sel = blocks.groupby("column")["codec"].agg(lambda s: s.value_counts().idxmax())
     assert sel["role"] == "dict"
     assert sel["tool"] == "dict"
-    assert sel["conv_id"] == "rle"
-    assert sel["turn_idx"] == "bitpack"
+    assert sel["conv_id"] in ("rle", "raw")
+    assert sel["turn_idx"] in ("fordelta", "bitpack")
     assert sel["ts"] == "fordelta"
     assert sel["text"] in ("fsst", "raw")
+
+
+def test_warehouse_beats_zstd_parquet_baseline(spark, tmp_path):
+    """North-rule size gate: on-disk blocks+manifests <= same table as
+    Parquet/zstd (the reference-equivalent sink, convert.go:60-65)."""
+    import os
+
+    from vcf2df_spark import manifest as manifest_mod
+
+    src = fixtures.transcripts_small()
+    base_path = str(tmp_path / "baseline.parquet")
+    baseline_bytes = fixtures.write_parquet(src, base_path)
+
+    df = spark.createDataFrame(src)
+    blocks = encode_transcripts(df, num_partitions=8).cache()
+    blocks_path = str(tmp_path / "blocks")
+    blocks.write.option("compression", "zstd").parquet(blocks_path)
+    manifests = manifest_mod.build_manifests(blocks, "size-test", base_path)
+    manifests_path = str(tmp_path / "manifests")
+    manifests.write.option("compression", "zstd").parquet(manifests_path)
+    blocks.unpersist()
+
+    def du(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+    ours = du(blocks_path) + du(manifests_path)
+    assert ours < baseline_bytes, f"{ours} >= {baseline_bytes}"
 
 
 def test_skew_partition_balance(spark):

@@ -76,18 +76,61 @@ def choose_codec(stats: ColumnStats) -> str:
     return "fsst"
 
 
-def encode_best(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
-    """Encode with the stats-chosen codec; fall back to raw if it loses.
+def candidate_codecs(stats: ColumnStats) -> list[str]:
+    """Cheap candidate set actually measured by :func:`encode_best`.
 
-    Returns (codec, payload, aux, meta, raw_bytes).
+    Int codecs are cheap enough to always try both; low-cardinality string
+    codecs likewise. FSST (training cost) is only tried when stats point
+    at high-entropy text.
+    """
+    if stats.n == 0:
+        return []
+    if stats.is_int:
+        cands = ["bitpack"]
+        if stats.sorted_frac >= 0.7:
+            cands.append("fordelta")
+        return cands
+    if stats.ndv <= 4096 and stats.ndv <= max(stats.n / 4, 1):
+        return ["dict", "rle"] if stats.mean_run_len >= 1.5 else ["dict"]
+    return ["fsst"]
+
+
+try:  # sink-compression proxy: the blocks table is written as Parquet/zstd,
+    # so the selection objective is POST-zstd bytes, not pre-zstd bytes
+    import pyarrow as pa
+
+    _ZSTD = pa.Codec("zstd")
+
+    def _disk_proxy(payload: bytes, aux: bytes) -> int:
+        out = 0
+        if payload:
+            out += len(_ZSTD.compress(payload))
+        if aux:
+            out += len(_ZSTD.compress(aux))
+        return out
+
+except Exception:  # pragma: no cover - pyarrow always present in target env
+
+    def _disk_proxy(payload: bytes, aux: bytes) -> int:
+        return len(payload) + len(aux)
+
+
+def encode_best(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
+    """Encode with the stats-chosen codec; measured fallback to raw.
+
+    The comparison applies the sink's zstd to both candidates (what actually
+    hits disk), so a codec that shrinks pre-zstd bytes but destroys zstd's
+    own match opportunities (e.g. FSST over word-repetitive text) loses
+    honestly. Returns (codec, payload, aux, meta, raw_bytes).
     """
     values = np.asarray(values)
     raw_payload, raw_aux, raw_meta = codecs.encode("raw", values)
     raw_bytes = len(raw_payload) + len(raw_aux)
-    codec = choose_codec(column_stats(values))
-    if codec == "raw":
-        return "raw", raw_payload, raw_aux, raw_meta, raw_bytes
-    payload, aux, meta = codecs.encode(codec, values)
-    if len(payload) + len(aux) >= raw_bytes:
-        return "raw", raw_payload, raw_aux, raw_meta, raw_bytes
-    return codec, payload, aux, meta, raw_bytes
+    best = ("raw", raw_payload, raw_aux, raw_meta)
+    best_size = _disk_proxy(raw_payload, raw_aux)
+    for codec in candidate_codecs(column_stats(values)):
+        payload, aux, meta = codecs.encode(codec, values)
+        size = _disk_proxy(payload, aux)
+        if size < best_size:
+            best, best_size = (codec, payload, aux, meta), size
+    return (*best, raw_bytes)
