@@ -1,0 +1,159 @@
+"""Bench harness: headline encode/decode/verify at the target scale factor.
+
+Default mode (driver contract): run on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR-scaled deterministic transcripts and print ONE JSON line
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode (north_rule evidence): run the identical encode at two
+parallelism levels (local[8] vs local[32] — the sandbox substitution for
+N vs 4N executors) and report throughput at both plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_input(sf: float, mult: int = 1) -> str:
+    """Deterministic transcripts scaled to sf; cached parquet under /tmp.
+
+    ``mult`` scales the corpus up for the scaling-efficiency mode: the
+    two-parallelism comparison needs enough work per core that fixed
+    startup costs don't dominate the wall clock.
+    """
+    path = f"/tmp/vcf2df_bench_transcripts_sf{sf}_x{mult}.parquet"
+    if not os.path.exists(path):
+        from vcf2df_spark import fixtures
+
+        n_convs = max(20, int(20000 * sf / 0.1)) * mult
+        df = fixtures.transcripts_small(n_convs=n_convs)
+        fixtures.write_parquet(df, path)
+    return path
+
+
+def run_pipeline(master: str, input_path: str, warehouse: str,
+                 partitions: int) -> dict:
+    """One full encode -> decode -> verify cycle; returns timings + counters."""
+    from pyspark.sql import functions as F
+
+    from vcf2df_spark.decode import decode_blocks
+    from vcf2df_spark.encode import encode_keyed, normalize_input, with_partition_key
+    from vcf2df_spark.session import get_spark
+
+    spark = get_spark(master=master, app_name="bench",
+                      shuffle_partitions=partitions)
+    try:
+        src = normalize_input(spark.read.parquet(input_path))
+        n_rows = src.count()
+
+        t0 = time.time()
+        keyed = with_partition_key(src, partitions)
+        blocks = encode_keyed(keyed)
+        shutil.rmtree(warehouse, ignore_errors=True)
+        blocks.write.option("compression", "zstd").parquet(f"{warehouse}/blocks")
+        t_encode = time.time() - t0
+
+        t0 = time.time()
+        stored = spark.read.parquet(f"{warehouse}/blocks")
+        decoded = decode_blocks(stored)
+        n_dec = decoded.count()
+        t_decode = time.time() - t0
+
+        t0 = time.time()
+
+        def canon(df):
+            return df.select("conv_id", "turn_idx", "role", "text", "tool",
+                             F.unix_micros("ts").alias("ts_us"))
+
+        mismatch = canon(src).exceptAll(canon(decoded)).count()
+        t_verify = time.time() - t0
+
+        agg = stored.agg(F.sum("raw_bytes").alias("raw"),
+                         F.sum("enc_bytes").alias("enc")).collect()[0]
+        disk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(f"{warehouse}/blocks") for f in fs
+        )
+        return {
+            "rows": n_rows,
+            "rows_decoded": n_dec,
+            "mismatch_rows": mismatch,
+            "encode_sec": round(t_encode, 2),
+            "decode_sec": round(t_decode, 2),
+            "verify_sec": round(t_verify, 2),
+            "turns_per_sec_encode": int(n_rows / t_encode),
+            "raw_bytes": int(agg["raw"]),
+            "enc_bytes": int(agg["enc"]),
+            "disk_bytes": disk,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                                      "/root/testdata/sf0.1"))
+    args = p.parse_args()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_from_dir(args.sf_dir)
+
+    if args.scaling:
+        input_path = bench_input(sf, mult=8)
+        results = {}
+        for cores in (8, 32):
+            r = run_pipeline(f"local[{cores}]", input_path,
+                             f"/tmp/vcf2df_bench_wh_{cores}", partitions=128)
+            results[f"local[{cores}]"] = r
+        t8 = results["local[8]"]["encode_sec"]
+        t32 = results["local[32]"]["encode_sec"]
+        eff = (t8 / t32) / (32 / 8)
+        print(json.dumps({
+            "metric": "encode scaling local[8] vs local[32]",
+            "sf": sf,
+            "runs": results,
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    input_path = bench_input(sf)
+    r = run_pipeline(f"local[{cpus}]", input_path, "/tmp/vcf2df_bench_wh",
+                     partitions=max(32, int(cpus) * 2))
+    ok = r["mismatch_rows"] == 0 and r["rows"] == r["rows_decoded"]
+    total = r["encode_sec"] + r["decode_sec"] + r["verify_sec"]
+    print(json.dumps({
+        "metric": "transcripts encode+decode+verify wall sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "sf": sf,
+        "queries": {
+            "encode": r["encode_sec"],
+            "decode": r["decode_sec"],
+            "verify_bit_identity": r["verify_sec"],
+        },
+        "rows": r["rows"],
+        "turns_per_sec_encode": r["turns_per_sec_encode"],
+        "compression_ratio_raw": round(r["raw_bytes"] / max(r["enc_bytes"], 1), 3),
+        "disk_bytes": r["disk_bytes"],
+        "bit_identical": ok,
+    }))
+    if not ok:
+        sys.exit(4)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,8 +34,7 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from vcf2df_spark import manifest
-    from vcf2df_spark.blocks import BLOCKS_SCHEMA
-    from vcf2df_spark.encode import _encode_group, normalize_input, with_partition_key
+    from vcf2df_spark.encode import encode_keyed, normalize_input, with_partition_key
     from vcf2df_spark.session import get_spark
 
     from pyspark.sql import SparkSession
@@ -71,7 +70,7 @@ def main(argv: list[str] | None = None) -> None:
         pending = pending.join(F.broadcast(keep), "_pkey", "inner")
         truncated = True
 
-    blocks = pending.groupBy("_pkey").applyInPandas(_encode_group, BLOCKS_SCHEMA).cache()
+    blocks = encode_keyed(pending).cache()
 
     n_blocks = blocks.count()
     if n_blocks == 0:

@@ -1,0 +1,178 @@
+"""Arrow-native column encode/decode — the engine's hot data plane.
+
+Strings never materialize as Python objects here: the utf8 payload and
+lengths come straight from the Arrow buffers, dictionary encoding is
+``pyarrow.compute.dictionary_encode`` (C++), and decode rebuilds
+StringArrays via ``from_buffers``. Combined with ``applyInArrow`` this
+keeps the per-byte cost compute-bound (codec kernels) instead of
+bandwidth-bound (object churn) — the property that lets encode scale
+with cores on a real cluster.
+
+Block payload/aux/meta formats are identical to the numpy codec layer
+(``codecs/``), so blocks are interchangeable between both paths and the
+kernel unit tests cover this layer's formats too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import planner
+from .codecs import bitpack, fsst, strutil
+from .planner import _disk_proxy
+
+# ---------------------------------------------------------------- strings
+
+
+def string_buf_lengths(arr: pa.Array) -> tuple[bytes, np.ndarray]:
+    """StringArray -> (concatenated utf8 bytes, int64 lengths); zero-copy reads."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    n = len(arr)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    # single copy: slice of the shared data buffer
+    buf = bytes(memoryview(buffers[2])[int(offsets[0]) : int(offsets[-1])])
+    return buf, np.diff(offsets).astype(np.int64)
+
+
+def strings_from_buf(buf: bytes, lengths: np.ndarray) -> pa.Array:
+    """(utf8 bytes, lengths) -> StringArray without per-row Python."""
+    n = len(lengths)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if offsets[-1] <= np.iinfo(np.int32).max:
+        return pa.StringArray.from_buffers(
+            n,
+            pa.py_buffer(offsets.astype(np.int32).tobytes()),
+            pa.py_buffer(buf),
+        )
+    return pa.Array.from_buffers(
+        pa.large_utf8(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)],
+    )
+
+
+def _pack_lengths(lengths: np.ndarray) -> tuple[bytes, dict]:
+    if len(lengths) == 0:
+        return b"", {"lwidth": 0, "lmin": 0}
+    lmin = int(lengths.min())
+    lwidth = bitpack._bit_width(int(lengths.max()) - lmin)
+    return (
+        bitpack.pack_u64((lengths - lmin).astype(np.uint64), lwidth),
+        {"lwidth": lwidth, "lmin": lmin},
+    )
+
+
+def _unpack_lengths(aux: bytes, meta: dict, n: int) -> np.ndarray:
+    return bitpack.unpack_u64(aux, meta["lwidth"], n).astype(np.int64) + meta["lmin"]
+
+
+def encode_string_column(arr: pa.Array) -> tuple[str, bytes, bytes, dict, int]:
+    """Measured candidate selection over Arrow buffers (see planner)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    buf, lengths = string_buf_lengths(arr)
+    lpack, lmeta = _pack_lengths(lengths)
+    raw = ("raw", buf, lpack, {"kind": "str", **lmeta})
+    raw_bytes = len(buf) + len(lpack)
+    if n == 0:
+        return (*raw, raw_bytes)
+    best, best_size = raw, _disk_proxy(buf, lpack)
+
+    denc = pc.dictionary_encode(arr)
+    table = denc.dictionary
+    ndv = len(table)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if ndv <= 4096 and ndv <= max(n / 4, 1):
+        tbuf, tlens = string_buf_lengths(table)
+        aux_table = strutil.pack_str_list(
+            [bytes(memoryview(tbuf)[s:e]) for s, e in _spans(tlens)]
+        )
+        width = bitpack._bit_width(ndv - 1)
+        # dict candidate
+        payload = bitpack.pack_u64(codes.astype(np.uint64), width)
+        size = _disk_proxy(payload, aux_table)
+        if size < best_size:
+            best, best_size = ("dict", payload, aux_table, {"width": width, "ndv": ndv}), size
+        # rle candidate over the same codes
+        starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        run_vals = codes[starts].astype(np.uint64)
+        run_lens = np.diff(np.concatenate((starts, [n]))).astype(np.uint64)
+        lwidth = bitpack._bit_width(int(run_lens.max()))
+        vpack = bitpack.pack_u64(run_vals, width)
+        lpack2 = bitpack.pack_u64(run_lens, lwidth)
+        payload = vpack + lpack2
+        meta = {"n_runs": int(len(starts)), "vwidth": width, "lwidth": lwidth,
+                "vbytes": len(vpack)}
+        size = _disk_proxy(payload, aux_table)
+        if size < best_size:
+            best, best_size = ("rle", payload, aux_table, meta), size
+    else:
+        if planner.fsst_sample_wins_buf(buf, lengths):
+            symbols = fsst.train(buf)
+            segs = [
+                fsst.encode_buffer(buf[i : i + fsst.SEGMENT_BYTES], symbols)
+                for i in range(0, len(buf), fsst.SEGMENT_BYTES)
+            ] or [b""]
+            payload = b"".join(segs)
+            tablebuf = strutil.pack_str_list(symbols)
+            aux = tablebuf + lpack
+            meta = {"table_bytes": len(tablebuf), **lmeta,
+                    "seg_code_lens": [len(s) for s in segs]}
+            size = _disk_proxy(payload, aux)
+            if size < best_size:
+                best, best_size = ("fsst", payload, aux, meta), size
+    return (*best, raw_bytes)
+
+
+def _spans(lengths: np.ndarray):
+    offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    return zip(offs[:-1], offs[1:])
+
+
+def decode_string_column(codec: str, payload: bytes, aux: bytes, meta: dict,
+                         n: int) -> pa.Array:
+    if codec == "raw":
+        return strings_from_buf(payload, _unpack_lengths(aux, meta, n))
+    if codec == "dict":
+        items = strutil.unpack_str_list(aux)
+        codes = bitpack.unpack_u64(payload, meta["width"], n).astype(np.int32)
+        table = pa.array([b.decode("utf-8") for b in items], type=pa.string())
+        return pc.take(table, pa.array(codes))
+    if codec == "rle":
+        items = strutil.unpack_str_list(aux)
+        k, vb = meta["n_runs"], meta["vbytes"]
+        run_vals = bitpack.unpack_u64(payload[:vb], meta["vwidth"], k).astype(np.int64)
+        run_lens = bitpack.unpack_u64(payload[vb:], meta["lwidth"], k).astype(np.int64)
+        codes = np.repeat(run_vals, run_lens).astype(np.int32)
+        table = pa.array([b.decode("utf-8") for b in items], type=pa.string())
+        return pc.take(table, pa.array(codes))
+    if codec == "fsst":
+        tb = meta["table_bytes"]
+        symbols = strutil.unpack_str_list(aux[:tb])
+        lengths = _unpack_lengths(aux[tb:], meta, n)
+        parts, pos = [], 0
+        for cl in meta["seg_code_lens"]:
+            parts.append(fsst.decode_buffer(payload[pos : pos + cl], symbols))
+            pos += cl
+        return strings_from_buf(b"".join(parts), lengths)
+    raise ValueError(f"unknown string codec {codec}")
+
+
+# ------------------------------------------------------------------- ints
+
+
+def encode_int_column(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
+    return planner.encode_best(values)

@@ -5,8 +5,9 @@ The Spark re-imagination of the reference's single-threaded convert loop
 a declarative plan — salted repartition (skew defusal), stable in-partition
 sort (the determinism contract the reference got from coordinate-sorted
 input + lexical schema order, ``converter/schema.go:99-100``), then one
-Arrow-vectorized ``applyInPandas`` that pivots each partition's columns
-through the stats-driven codec kernels. No per-row Python anywhere.
+Arrow-native ``applyInArrow`` that pivots each partition's columns through
+the stats-driven codec kernels. No per-row Python anywhere; strings never
+materialize as Python objects (see arrow_ops.py).
 
 Scale design (100 TB / 1000 executors):
 - the only shuffle is the salted repartition by
@@ -16,7 +17,10 @@ Scale design (100 TB / 1000 executors):
 - partition count is a parameter: size so each group ~ a few hundred MB;
 - chunking inside the UDF (CHUNK_ROWS) bounds peak memory per task
   regardless of group size;
-- output blocks are small (compressed) — the write is cheap and columnar.
+- the in-task sort and dictionary encode are Arrow C++ (cache-friendly),
+  codec kernels run on cache-resident segments — per-byte cost stays
+  compute-bound, so throughput scales with cores instead of saturating
+  memory bandwidth.
 """
 
 from __future__ import annotations
@@ -24,33 +28,51 @@ from __future__ import annotations
 import json
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import planner
+from . import arrow_ops
 from .blocks import BLOCKS_SCHEMA, TRANSCRIPT_COLUMNS
 
 TURNS_PER_SPLIT = 256  # conversations longer than this are split across partitions
 CHUNK_ROWS = 65536
 
+_STRING_COLS = ("conv_id", "role", "text", "tool")
 
-def _ts_to_micros(series: pd.Series) -> np.ndarray:
-    return series.astype("datetime64[us]").astype("int64")
+_BLOCKS_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("partition_id", pa.int32()),
+        pa.field("chunk_idx", pa.int32()),
+        pa.field("column", pa.string()),
+        pa.field("codec", pa.string()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("payload", pa.binary()),
+        pa.field("aux", pa.binary()),
+        pa.field("meta", pa.string()),
+        pa.field("raw_bytes", pa.int64()),
+        pa.field("enc_bytes", pa.int64()),
+    ]
+)
 
 
-def encode_chunk(chunk: pd.DataFrame, partition_id: int, chunk_idx: int) -> list[dict]:
-    """Encode one sorted chunk: six column blocks (pure numpy kernels)."""
+def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int) -> list[dict]:
+    """Encode one sorted chunk: six column blocks, Arrow/numpy kernels only."""
     rows = []
-    n = len(chunk)
+    n = chunk.num_rows
     for col in TRANSCRIPT_COLUMNS:
-        if col == "ts":
-            values = _ts_to_micros(chunk[col])
-        elif col == "turn_idx":
-            values = chunk[col].to_numpy()
+        arr = chunk.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if col in _STRING_COLS:
+            codec, payload, aux, meta, raw_bytes = arrow_ops.encode_string_column(arr)
         else:
-            values = chunk[col].to_numpy(dtype=object)
-        codec, payload, aux, meta, raw_bytes = planner.encode_best(values)
+            if col == "ts":
+                values = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            else:
+                values = arr.to_numpy(zero_copy_only=False)
+            codec, payload, aux, meta, raw_bytes = arrow_ops.encode_int_column(values)
         rows.append(
             {
                 "partition_id": partition_id,
@@ -68,13 +90,17 @@ def encode_chunk(chunk: pd.DataFrame, partition_id: int, chunk_idx: int) -> list
     return rows
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    partition_id = int(pdf["_pkey"].iloc[0])
-    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+def _encode_group(table: pa.Table) -> pa.Table:
+    partition_id = int(table.column("_pkey")[0].as_py())
+    idx = pc.sort_indices(
+        table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    table = table.take(idx)
     out: list[dict] = []
-    for chunk_idx, lo in enumerate(range(0, len(pdf), CHUNK_ROWS)):
-        out.extend(encode_chunk(pdf.iloc[lo : lo + CHUNK_ROWS], partition_id, chunk_idx))
-    return pd.DataFrame(out)
+    for chunk_idx, lo in enumerate(range(0, table.num_rows, CHUNK_ROWS)):
+        chunk = table.slice(lo, CHUNK_ROWS)
+        out.extend(encode_chunk_arrow(chunk, partition_id, chunk_idx))
+    return pa.Table.from_pylist(out, schema=_BLOCKS_ARROW_SCHEMA)
 
 
 def with_partition_key(df: DataFrame, num_partitions: int) -> DataFrame:
@@ -103,7 +129,11 @@ def normalize_input(df: DataFrame) -> DataFrame:
     )
 
 
+def encode_keyed(keyed: DataFrame) -> DataFrame:
+    """Pre-keyed transcripts (has _pkey) -> blocks; Arrow-native UDF."""
+    return keyed.groupBy("_pkey").applyInArrow(_encode_group, BLOCKS_SCHEMA)
+
+
 def encode_transcripts(df: DataFrame, num_partitions: int = 32) -> DataFrame:
-    """transcripts -> blocks. One shuffle (groupBy _pkey); Arrow-vectorized."""
-    keyed = with_partition_key(normalize_input(df), num_partitions)
-    return keyed.groupBy("_pkey").applyInPandas(_encode_group, BLOCKS_SCHEMA)
+    """transcripts -> blocks. One shuffle (groupBy _pkey); Arrow-native."""
+    return encode_keyed(with_partition_key(normalize_input(df), num_partitions))

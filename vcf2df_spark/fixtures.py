@@ -47,6 +47,44 @@ def _vocab(rng: np.random.Generator) -> np.ndarray:
     return np.array(words, dtype=object)
 
 
+# conversational sentence templates: transcript text is template-heavy in
+# reality (agent phrasing, tool scaffolding), which is exactly the workload
+# FSST-style symbol tables target; slots keep rows distinct
+_TEMPLATES = [
+    ("I checked the ", " configuration and found ", " matching entries."),
+    ("Please run the ", " step again with ", " retries enabled."),
+    ("The ", " service returned status ", " after the last deploy."),
+    ("Let me look at the ", " logs for request ", " now."),
+    ("Based on the ", " output, I recommend increasing ", " slightly."),
+    ("The error in ", " was caused by a missing ", " parameter."),
+    ("I updated the ", " settings to use ", " as the default."),
+    ("Searching the ", " index for ", " related documents."),
+    ("The user asked about ", " so I summarized the ", " section."),
+    ("That matches the ", " pattern we saw in ticket ", " earlier."),
+    ("I will schedule the ", " job to process batch ", " overnight."),
+    ("The metrics for ", " show a spike around ", " yesterday."),
+]
+
+
+def _gen_text(rng: np.random.Generator, total: int, vocab: np.ndarray) -> np.ndarray:
+    """Templated sentences, 1..5 per turn — vectorized draws, one join pass."""
+    n_sent = rng.integers(1, 6, total)
+    total_sent = int(n_sent.sum())
+    tid = rng.integers(0, len(_TEMPLATES), total_sent)
+    w1 = rng.choice(vocab, total_sent)
+    w2 = rng.integers(0, 100000, total_sent)
+    p0 = np.array([t[0] for t in _TEMPLATES], dtype=object)
+    p1 = np.array([t[1] for t in _TEMPLATES], dtype=object)
+    p2 = np.array([t[2] for t in _TEMPLATES], dtype=object)
+    sents = p0[tid] + w1 + p1[tid] + w2.astype(str).astype(object) + p2[tid]
+    bounds = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(n_sent, out=bounds[1:])
+    return np.array(
+        [" ".join(sents[bounds[i] : bounds[i + 1]]) for i in range(total)],
+        dtype=object,
+    )
+
+
 def _make(rng: np.random.Generator, conv_lens: np.ndarray, start_us_lo: int,
           start_us_hi: int) -> pd.DataFrame:
     vocab = _vocab(rng)
@@ -67,16 +105,8 @@ def _make(rng: np.random.Generator, conv_lens: np.ndarray, start_us_lo: int,
         role == "tool", rng.choice(TOOLS, size=total, p=w), ""
     ).astype(object)
 
-    # text: word salad, lognormal char target; tool turns JSON-ish
-    char_target = np.clip(rng.lognormal(4.0, 0.8, total), 1, 4000).astype(np.int64)
-    nwords = np.maximum(1, char_target // 7)
-    flat_words = rng.choice(vocab, size=int(nwords.sum()))
-    bounds = np.zeros(total + 1, dtype=np.int64)
-    np.cumsum(nwords, out=bounds[1:])
-    text = np.array(
-        [" ".join(flat_words[bounds[i]:bounds[i + 1]]) for i in range(total)],
-        dtype=object,
-    )
+    # text: templated conversational sentences; tool turns JSON-ish
+    text = _gen_text(rng, total, vocab)
     is_tool = role == "tool"
     tool_vals = rng.integers(0, 10_000, total)
     statuses = np.array(["ok", "error", "timeout", "partial"], dtype=object)

@@ -129,8 +129,43 @@ def encode_best(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
     best = ("raw", raw_payload, raw_aux, raw_meta)
     best_size = _disk_proxy(raw_payload, raw_aux)
     for codec in candidate_codecs(column_stats(values)):
+        if codec == "fsst" and not _fsst_sample_wins(values):
+            continue  # skip the expensive full parse when a trial loses
         payload, aux, meta = codecs.encode(codec, values)
         size = _disk_proxy(payload, aux)
         if size < best_size:
             best, best_size = (codec, payload, aux, meta), size
     return (*best, raw_bytes)
+
+
+_FSST_TRIAL_ROWS = 2048
+_FSST_TRIAL_BYTES = 1 << 18
+
+
+def fsst_sample_wins_buf(buf: bytes, lengths: np.ndarray) -> bool:
+    """Buffer-level FSST trial for the Arrow path: no string objects."""
+    from .codecs import fsst as fsst_mod
+
+    sample = buf[:_FSST_TRIAL_BYTES]
+    if not sample:
+        return False
+    symbols = fsst_mod.train(sample)
+    enc = fsst_mod.encode_buffer(sample, symbols)
+    table_bytes = sum(len(s) for s in symbols) + 4 * len(symbols)
+    return _disk_proxy(enc, b"") + table_bytes < _disk_proxy(sample, b"")
+
+
+def _fsst_sample_wins(values: np.ndarray) -> bool:
+    """Trial-encode a strided sample; only full-encode FSST if it wins there.
+
+    FSST is the one candidate whose encode cost is significant, so the
+    measured selection runs on a sample first (same move as the reference's
+    fail-fast before expensive parse, parseVariant.go:20-24).
+    """
+    if len(values) <= _FSST_TRIAL_ROWS:
+        sample = values
+    else:
+        sample = values[:: max(1, len(values) // _FSST_TRIAL_ROWS)][:_FSST_TRIAL_ROWS]
+    payload, aux, _ = codecs.encode("fsst", sample)
+    raw_payload, raw_aux, _ = codecs.encode("raw", sample)
+    return _disk_proxy(payload, aux) < _disk_proxy(raw_payload, raw_aux)
