@@ -180,12 +180,20 @@ def transcripts_skew(n_convs: int = 2240, mega_len: int = 12000, seed: int = 42)
     return _make(rng, lens, _START_LO, _START_HI)
 
 
-def write_parquet(df: pd.DataFrame, path: str, compression: str = "zstd") -> int:
-    """Write with the baseline codec; returns file size in bytes."""
+def write_parquet(df: pd.DataFrame, path: str, compression: str = "zstd",
+                  row_group_size: int = 65536) -> int:
+    """Write with the baseline codec; returns file size in bytes.
+
+    Small row groups keep the scan splittable — a single file with 1M-row
+    groups caps the Spark map stage at a handful of tasks regardless of
+    cluster size (the single-threaded-gzip problem the reference has,
+    convert.go:42, transplanted to parquet).
+    """
     import os
 
     import pyarrow.parquet as pq
 
     table = pa.Table.from_pandas(df, schema=ARROW_SCHEMA, preserve_index=False)
-    pq.write_table(table, path, compression=compression)
+    pq.write_table(table, path, compression=compression,
+                   row_group_size=row_group_size)
     return os.path.getsize(path)
