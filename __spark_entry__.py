@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (the compression engine itself) on the
+sf0.001 tables; ``queries``/``oracle_sql`` expose every implemented operator
+from SURVEY.md §2 plus the training-data operators (dedup, similarity, text
+analysis) with exactly-matching DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -15,24 +14,56 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive transcript-shaped rows from the events table, run the
+    per-column compression engine on them, and return the per-column codec
+    summary (codec choice, rows, raw vs encoded bytes)."""
+    from pyspark.sql import functions as F
+
+    from vcf2df_spark.encode import encode_transcripts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    transcripts = ev.select(
+        F.format_string("conv-%06d", F.col("user_id")).alias("conv_id"),
+        F.row_number()
+        .over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("user_id")
+            .orderBy("ts", "event_id")
+        )
+        .cast("int")
+        .alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("text"),
+        F.when(F.col("event_type") == "error", F.lit("debugger"))
+        .otherwise(F.lit(""))
+        .alias("tool"),
+        F.col("ts"),
+    )
+    blocks = encode_transcripts(transcripts, num_partitions=8)
+    return (
+        blocks.groupBy("column", "codec")
+        .agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .orderBy("column", "codec")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from vcf2df_spark.operators import relational, textops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(textops.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vcf2df_spark.operators import relational, textops
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    out.update(textops.ORACLES)
+    return out

@@ -1,0 +1,65 @@
+"""Local emulation of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB against the same sf0.001
+parquet tables; compare row counts and values (columns sorted by name,
+rows sorted, exact match after the queries' own rounding)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = __import__("os").environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind in "fc":
+            df[c] = df[c].round(9)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+QUERY_NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    got = q(spark, SF_DIR).toPandas()
+    assert sql is not None, f"{name} has no oracle"
+    want = duck.execute(sql).df()
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    g, w = _canon(got), _canon(want)
+    assert list(g.columns) == list(w.columns), f"{name}: columns {list(g.columns)} vs {list(w.columns)}"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-9, obj=name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 6  # one summary row per column at minimum
+    assert {"column", "codec", "rows", "raw_bytes", "enc_bytes"} <= set(df.columns)

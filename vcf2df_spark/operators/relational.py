@@ -1,0 +1,342 @@
+"""Relational operators (SURVEY.md §2): the reference's dataflow semantics
+re-expressed as declarative Spark plans over the driver testdata tables,
+plus the join/agg/window/sort/set categories the reference lacks (§2.2)
+that the target engine needs.
+
+Every query here has an exactly-matching DuckDB oracle in ORACLES (same
+column names, same rounding) for the driver's side-by-side value-hash
+check. All plans are pure DataFrame API: filters/projections push down to
+the parquet scan, small dimensions are broadcast, aggregates use Catalyst's
+partial+final hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- aggregation (partial+final hash agg; reference has none, §2.2) -------
+
+def q_agg_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (grouped agg with derived exprs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- derived-key projection (P3: VARIANTKEY concat, formatOutput.go:21) ----
+
+def q_derived_key(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "-", F.col("o_orderstatus"), F.col("o_orderpriority"), F.col("o_orderkey")
+        ).alias("order_key"),
+    )
+
+
+# --- filter with pushdown (F1: early-exit predicate, parseVariant.go:20) ---
+
+def q_filter_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --- explode / flatMap (E1: per-sample row explosion, convert.go:81-97) ----
+
+def q_explode_wordcount(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# --- missing-value imputation (P7: typed defaults, formatOutput.go:89) -----
+
+def q_impute(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.coalesce(F.nullif(F.col("props"), F.lit("")), F.lit("{}")).alias(
+                "props_filled"
+            ),
+            F.coalesce("value", F.lit(0.0)).alias("value_filled"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("props_filled") == "{}", 1).otherwise(0)).alias(
+                "n_defaulted"
+            ),
+            F.round(F.sum("value_filled"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --- array -> string encode (P6: comma-joined arrays, formatOutput.go:60) --
+
+def q_array_encode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), ",").alias("head3"),
+    )
+
+
+# --- type narrowing (P5: float->int, upper, formatOutput.go:23-36) ---------
+
+def q_type_narrowing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("long").alias("price_int"),
+        F.upper("l_returnflag").alias("flag"),
+        (F.col("l_linenumber") + 1).cast("int").alias("linenumber_1based"),
+    )
+
+
+# --- window functions (§2.2: run detection for RLE stats) ------------------
+
+def q_window_runs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "is_new_run",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_new_run").alias("n_runs"),
+    )
+
+
+# --- broadcast join (§2.2: blocks x manifests shape) ------------------------
+
+def q_join_broadcast(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --- anti join (§2.2: the resume commit-log pattern) ------------------------
+
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+# --- semi join ---------------------------------------------------------------
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- sort / top-k (§2.2: skew diagnostics shape) -----------------------------
+
+def q_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --- set ops (§2.2: unionByName/distinct) ------------------------------------
+
+def q_set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+# --- stats profile (M1 analogue: the codec planner's sampler, §4.3) ----------
+
+def q_stats_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_type").alias("ndv_event_type"),
+        F.countDistinct("user_id").alias("ndv_user_id"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg(F.length("props")), 4).alias("avg_props_len"),
+    )
+
+
+QUERIES = {
+    "agg_pricing": q_agg_pricing,
+    "derived_key": q_derived_key,
+    "filter_pushdown": q_filter_pushdown,
+    "explode_wordcount": q_explode_wordcount,
+    "impute": q_impute,
+    "array_encode": q_array_encode,
+    "type_narrowing": q_type_narrowing,
+    "window_runs": q_window_runs,
+    "join_broadcast": q_join_broadcast,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "topk": q_topk,
+    "set_union": q_set_union,
+    "stats_profile": q_stats_profile,
+}
+
+ORACLES = {
+    "agg_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "derived_key": """
+        SELECT o_orderkey,
+               concat_ws('-', o_orderstatus, o_orderpriority, o_orderkey) AS order_key
+        FROM orders
+    """,
+    "filter_pushdown": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "explode_wordcount": """
+        SELECT word, count(*) AS count
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word ORDER BY count DESC, word ASC LIMIT 20
+    """,
+    "impute": """
+        SELECT event_type, count(*) AS n,
+               sum(CASE WHEN coalesce(nullif(props, ''), '{}') = '{}'
+                        THEN 1 ELSE 0 END) AS n_defaulted,
+               round(sum(coalesce(value, 0.0)), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "array_encode": """
+        SELECT doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1, 3), ',') AS head3
+        FROM documents
+    """,
+    "type_narrowing": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_int,
+               upper(l_returnflag) AS flag,
+               CAST(l_linenumber + 1 AS INTEGER) AS linenumber_1based
+        FROM lineitem
+    """,
+    "window_runs": """
+        SELECT user_id, count(*) AS n_events, sum(is_new_run) AS n_runs
+        FROM (
+            SELECT user_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS is_new_run
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) GROUP BY user_id
+    """,
+    "join_broadcast": """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "semi_join": """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "set_union": """
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+    """,
+    "stats_profile": """
+        SELECT count(*) AS n_rows,
+               count(DISTINCT event_type) AS ndv_event_type,
+               count(DISTINCT user_id) AS ndv_user_id,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(avg(length(props)), 4) AS avg_props_len
+        FROM events
+    """,
+}

@@ -1,0 +1,403 @@
+"""Training-data pipeline operators over the documents/embeddings tables:
+deduplication (exact, minhash-LSH, n-gram jaccard, simhash), similarity
+search (brute-force cosine top-k, sign-bucketed ANN), and text analysis
+(token counting, quality scoring, language-id heuristic, fingerprinting).
+
+Cross-system determinism: every hash is ``md5`` based —
+``conv(substr(md5(x),1,14),16,10)`` in Spark equals
+``cast('0x'||substr(md5(x),1,14) as bigint)`` in DuckDB (verified), so the
+oracles reproduce signatures exactly. All word-level work uses Spark's
+higher-order array functions (transform/aggregate/filter) — JVM-side, no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_P = 1_000_000_007
+# minhash permutation params (a, b): small odd multipliers, fixed
+_MINHASH_PARAMS = [(131, 7), (197, 91), (311, 43), (503, 17)]
+
+
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(F.col(col), " "), lambda w: w != "")
+
+
+def _word_hash(w: Column) -> Column:
+    """Deterministic 56-bit word hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(w), 1, 14), 16, 10).cast("long")
+
+
+_SQL_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_SQL_HASH = "cast(concat('0x', substr(md5({w}), 1, 14)) as bigint)"
+
+
+# --- exact dedup (hash-groupBy) ---------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+# --- minhash signatures (k=4, shared hash) ----------------------------------
+
+def _minhash_cols():
+    cols = []
+    for i, (a, b) in enumerate(_MINHASH_PARAMS):
+        cols.append(
+            F.array_min(
+                F.transform(
+                    _words(),
+                    lambda w: (F.lit(a) * (_word_hash(w) % F.lit(2**32)) + F.lit(b))
+                    % F.lit(_P),
+                )
+            ).alias(f"mh{i}")
+        )
+    return cols
+
+
+def q_minhash_signature(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_minhash_cols())
+
+
+# --- LSH candidate pairs (band = mh0) ----------------------------------------
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    sigs = q_minhash_signature(spark, sf_dir).select("doc_id", "mh0")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.mh0") == F.col("b.mh0"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh0").alias("band_hash"),
+        )
+    )
+
+
+# --- n-gram (word-set) jaccard over blocked pairs ----------------------------
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(_words()).alias("ws")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(
+        F.filter(F.col("a.ws"), lambda w: F.array_contains(F.col("b.ws"), w))
+    )
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+# --- simhash (16-bit, over distinct word hashes) ------------------------------
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = F.explode(
+        F.array_distinct(F.transform(_words(), lambda w: _word_hash(w)))
+    ).alias("h")
+    exploded = docs.select("doc_id", h)
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+# --- token counting -----------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_tokens"),
+        F.size(F.array_distinct(_words())).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# --- quality scoring ----------------------------------------------------------
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    ttr = F.size(F.array_distinct(_words())) / n_tok
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    return docs.select(
+        "doc_id",
+        F.round(ttr, 4).alias("ttr"),
+        F.round(len_score, 4).alias("len_score"),
+        F.round(ttr * len_score, 4).alias("quality"),
+    )
+
+
+# --- language-id heuristic ------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    hits = F.size(
+        F.filter(_words(), lambda w: F.lower(w).isin(*_STOPWORDS))
+    )
+    n_tok = F.size(_words())
+    pred = F.when(hits * 20 >= n_tok, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select(
+        "doc_id", "lang",
+        hits.alias("stopword_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+# --- document fingerprint (rolling polynomial hash) ------------------------------
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    hashes = F.transform(_words(), lambda w: _word_hash(w) % F.lit(1_000_000))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(_P),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- similarity: brute-force cosine top-k ------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sim = F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 3)
+    return (
+        joined.select("vec_id", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# --- similarity: sign-bucket ANN (LSH-flavored scale path) --------------------------
+
+def q_ann_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = (
+        F.when(e[0] > 0, 4).otherwise(0)
+        + F.when(e[1] > 0, 2).otherwise(0)
+        + F.when(e[2] > 0, 1).otherwise(0)
+    )
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+# --- multimodal metadata plumbing (binary column, typed meta) ------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Opaque-binary treatment: payload bytes + checksum + typed metadata.
+
+    The decode/feature-extract stage for real media is a mapInArrow stub
+    (see multimodal.py); the metadata path here is fully real and checked
+    against DuckDB on the bytes themselves.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.substring(F.sha2(payload, 256), 1, 16).alias("sha256_prefix"),
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signature": q_minhash_signature,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "ann_buckets": q_ann_buckets,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+
+def _mh_sql(i: int, a: int, b: int) -> str:
+    wh = _SQL_HASH.format(w="w")
+    return (
+        f"list_min(list_transform({_SQL_WORDS}, "
+        f"w -> ({a} * ({wh} % 4294967296) + {b}) % {_P})) AS mh{i}"
+    )
+
+
+_MINHASH_SELECT = ", ".join(
+    _mh_sql(i, a, b) for i, (a, b) in enumerate(_MINHASH_PARAMS)
+)
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+)
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, count(*) AS n_copies,
+               min(doc_id) AS canonical_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "minhash_signature": f"SELECT doc_id, {_MINHASH_SELECT} FROM documents",
+    "lsh_candidate_pairs": f"""
+        WITH sigs AS (
+            SELECT doc_id,
+                   list_min(list_transform({_SQL_WORDS},
+                       w -> (131 * ({_SQL_HASH.format(w='w')} % 4294967296) + 7)
+                            % {_P})) AS mh0
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh0 AS band_hash
+        FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+    """,
+    "jaccard_pairs": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   list_distinct({_SQL_WORDS}) AS ws
+            FROM documents
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(
+                     len(list_filter(a.ws, w -> list_contains(b.ws, w)))::DOUBLE
+                     / (len(a.ws) + len(b.ws)
+                        - len(list_filter(a.ws, w -> list_contains(b.ws, w)))),
+                     4) AS jaccard
+            FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.3
+    """,
+    "simhash": f"""
+        WITH hashes AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform({_SQL_WORDS},
+                       w -> {_SQL_HASH.format(w='w')}))) AS h
+            FROM documents
+        ), bitsums AS (
+            SELECT doc_id, {_SIMHASH_BITSUMS} FROM hashes GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash16
+        FROM bitsums
+    """,
+    "token_stats": f"""
+        SELECT doc_id,
+               len({_SQL_WORDS}) AS n_tokens,
+               len(list_distinct({_SQL_WORDS})) AS n_distinct_tokens,
+               length(text) AS n_chars_actual
+        FROM documents
+    """,
+    "quality_score": f"""
+        SELECT doc_id,
+               round(len(list_distinct({_SQL_WORDS}))::DOUBLE
+                     / len({_SQL_WORDS}), 4) AS ttr,
+               round(least(1.0, len({_SQL_WORDS}) / 100.0), 4) AS len_score,
+               round((len(list_distinct({_SQL_WORDS}))::DOUBLE
+                      / len({_SQL_WORDS}))
+                     * least(1.0, len({_SQL_WORDS}) / 100.0), 4) AS quality
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, lang,
+               len(list_filter({_SQL_WORDS},
+                   w -> lower(w) IN ('the','and','of','a','to','in','is')))
+                   AS stopword_hits,
+               CASE WHEN len(list_filter({_SQL_WORDS},
+                        w -> lower(w) IN ('the','and','of','a','to','in','is')))
+                        * 20 >= len({_SQL_WORDS})
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM documents
+    """,
+    "fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_SQL_WORDS},
+                     w -> {_SQL_HASH.format(w='w')} % 1000000)),
+                 (acc, h) -> (acc * 31 + h) % {_P}) AS fingerprint
+        FROM documents
+    """,
+    "cosine_topk": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))),
+                     3) AS cosine
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "ann_buckets": """
+        SELECT (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket,
+               count(*) AS n_vectors
+        FROM embeddings GROUP BY 1
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS payload_bytes,
+               substr(sha256(text), 1, 16) AS sha256_prefix
+        FROM documents
+    """,
+}
