@@ -18,6 +18,7 @@ def entry(spark: SparkSession) -> DataFrame:
     per-column compression engine on them, and return the per-column codec
     summary (codec choice, rows, raw vs encoded bytes)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from vcf2df_spark.encode import encode_transcripts
 
@@ -25,11 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
     transcripts = ev.select(
         F.format_string("conv-%06d", F.col("user_id")).alias("conv_id"),
         F.row_number()
-        .over(
-            __import__("pyspark.sql.window", fromlist=["Window"]).Window
-            .partitionBy("user_id")
-            .orderBy("ts", "event_id")
-        )
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .cast("int")
         .alias("turn_idx"),
         F.col("event_type").alias("role"),
