@@ -228,8 +228,106 @@ def q_stats_profile(spark, sf_dir):
     )
 
 
+# --- rollup / cube (§2.2 grouping sets) --------------------------------------
+
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "qty",
+        )
+    )
+
+
+def q_cube(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n", "sum_value"
+        )
+    )
+
+
+# --- range / interval join (§2.2 joins) ---------------------------------------
+
+def q_range_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").alias("c")
+    buys = ev.filter(F.col("event_type") == "purchase").alias("p")
+    pairs = clicks.join(
+        buys,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("interval 5 minutes")),
+    )
+    return pairs.groupBy(F.col("c.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+# --- as-of join via window frame (§2.2) ----------------------------------------
+
+def q_asof_prior_click(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # NTZ -> LTZ (UTC session)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("last_click_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+        )
+    )
+
+
+# --- histogram / bucketed agg ----------------------------------------------------
+
+def q_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- exact percentiles -------------------------------------------------------------
+
+def q_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
 QUERIES = {
     "agg_pricing": q_agg_pricing,
+    "rollup": q_rollup,
+    "cube": q_cube,
+    "range_join": q_range_join,
+    "asof_prior_click": q_asof_prior_click,
+    "histogram": q_histogram,
+    "percentiles": q_percentiles,
     "derived_key": q_derived_key,
     "filter_pushdown": q_filter_pushdown,
     "explode_wordcount": q_explode_wordcount,
@@ -246,6 +344,48 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "cube": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY CUBE(event_type)
+    """,
+    "range_join": """
+        SELECT c.user_id AS user_id, count(*) AS n_pairs
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+        GROUP BY c.user_id
+    """,
+    "asof_prior_click": """
+        SELECT event_id, user_id, epoch_us(ts) - last_click_us AS gap_us
+        FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   max(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_us
+            FROM events
+        )
+        WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    """,
+    "histogram": """
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "percentiles": """
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+               round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95
+        FROM events GROUP BY event_type
+    """,
     "agg_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

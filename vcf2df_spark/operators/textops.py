@@ -259,8 +259,40 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+# --- word-trigram shingling (the minhash front-end at document scale) ---------
+
+def q_shingles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ws = _words()
+    n = F.size(ws)
+    shingles = F.transform(
+        F.slice(ws, 1, F.greatest(n - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.get(ws, i + 1), F.get(ws, i + 2)),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(shingles).alias("n_shingles"),
+        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
+    )
+
+
+# --- per-label embedding centroids (the IVF coarse-quantizer step) -------------
+
+def q_centroid_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+    return per_dim.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 3).alias("centroid_norm"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "shingles": q_shingles,
+    "centroid_norms": q_centroid_norms,
     "minhash_signature": q_minhash_signature,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "jaccard_pairs": q_jaccard_pairs,
@@ -295,6 +327,35 @@ _SIMHASH_COMBINE = " + ".join(
 )
 
 ORACLES = {
+    "shingles": f"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+        idx AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+            FROM w
+        ),
+        sh AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM idx
+        )
+        SELECT w.doc_id,
+               coalesce(t.n_shingles, 0) AS n_shingles,
+               coalesce(t.n_distinct_shingles, 0) AS n_distinct_shingles
+        FROM w LEFT JOIN (
+            SELECT doc_id, count(*) AS n_shingles,
+                   count(DISTINCT shingle) AS n_distinct_shingles
+            FROM sh GROUP BY doc_id
+        ) t USING (doc_id)
+    """,
+    "centroid_norms": """
+        WITH per_dim AS (
+            SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+            FROM embeddings, generate_series(1, 64) s(i)
+            GROUP BY label, i
+        )
+        SELECT label, round(sqrt(sum(m * m)), 3) AS centroid_norm
+        FROM per_dim GROUP BY label
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, count(*) AS n_copies,
                min(doc_id) AS canonical_id
