@@ -299,6 +299,55 @@ def q_asof_prior_click(spark, sf_dir):
     )
 
 
+# --- sessionization (gap-based session windows over the event stream) ----------
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+# --- JSON scalar extraction (P2 field-extraction analogue) -----------------------
+
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --- text normalization (P5 analogue in the text domain) -------------------------
+
+def q_normalize_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+
+
 # --- histogram / bucketed agg ----------------------------------------------------
 
 def q_histogram(spark, sf_dir):
@@ -328,6 +377,9 @@ QUERIES = {
     "asof_prior_click": q_asof_prior_click,
     "histogram": q_histogram,
     "percentiles": q_percentiles,
+    "sessionize": q_sessionize,
+    "json_extract": q_json_extract,
+    "normalize_text": q_normalize_text,
     "derived_key": q_derived_key,
     "filter_pushdown": q_filter_pushdown,
     "explode_wordcount": q_explode_wordcount,
@@ -379,6 +431,38 @@ ORACLES = {
     "histogram": """
         SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
         FROM events GROUP BY 1
+    """,
+    "sessionize": """
+        WITH gaps AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ), marked AS (
+            SELECT user_id, event_id, ts_us,
+                   sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+            FROM gaps
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               max(ts_us) - min(ts_us) AS duration_us
+        FROM marked GROUP BY user_id, session_idx
+    """,
+    "json_extract": """
+        SELECT event_type,
+               count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "normalize_text": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash
+        FROM documents
     """,
     "percentiles": """
         SELECT event_type,

@@ -259,6 +259,75 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+# --- banded-LSH near-dup verdicts (the full MinHash dedup pipeline) ------------
+# bands of 2 rows from the k=4 signature; a pair is a candidate if ANY band
+# matches (union of equi-joins keeps both joins hash-based — an OR join
+# condition would force a nested-loop); candidates are verified with exact
+# word-set jaccard and kept at >= 0.7.
+
+def q_near_dup_verdicts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_words()).alias("ws"), *_minhash_cols()
+    )
+    band1 = docs.select("doc_id", "ws", F.struct("mh0", "mh1").alias("band"))
+    band2 = docs.select("doc_id", "ws", F.struct("mh2", "mh3").alias("band"))
+
+    def pairs(banded):
+        a, b = banded.alias("a"), banded.alias("b")
+        return a.join(
+            b, (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ws").alias("ws_a"),
+            F.col("b.ws").alias("ws_b"),
+        )
+
+    cands = pairs(band1).unionByName(pairs(band2)).dropDuplicates(["doc_a", "doc_b"])
+    inter = F.size(
+        F.filter(F.col("ws_a"), lambda w: F.array_contains(F.col("ws_b"), w))
+    )
+    union = F.size("ws_a") + F.size("ws_b") - inter
+    return (
+        cands.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.7)
+    )
+
+
+# --- IVF-style probe: restrict cosine top-k to the query's coarse cell ----------
+
+def q_ivf_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = (
+        F.when(e[0] > 0, 4).otherwise(0)
+        + F.when(e[1] > 0, 2).otherwise(0)
+        + F.when(e[2] > 0, 1).otherwise(0)
+    )
+    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    cands = bucketed.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v)
+    )
+    sim = F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 3)
+    return (
+        cands.select("vec_id", "bucket", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 # --- word-trigram shingling (the minhash front-end at document scale) ---------
 
 def q_shingles(spark, sf_dir):
@@ -293,6 +362,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "shingles": q_shingles,
     "centroid_norms": q_centroid_norms,
+    "near_dup_verdicts": q_near_dup_verdicts,
+    "ivf_probe": q_ivf_probe,
     "minhash_signature": q_minhash_signature,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "jaccard_pairs": q_jaccard_pairs,
@@ -355,6 +426,44 @@ ORACLES = {
         )
         SELECT label, round(sqrt(sum(m * m)), 3) AS centroid_norm
         FROM per_dim GROUP BY label
+    """,
+    "near_dup_verdicts": f"""
+        WITH sigs AS (
+            SELECT doc_id, list_distinct({_SQL_WORDS}) AS ws, {_MINHASH_SELECT}
+            FROM documents
+        ), cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.ws AS ws_a, b.ws AS ws_b
+            FROM sigs a JOIN sigs b
+              ON a.doc_id < b.doc_id
+             AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+                  OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(
+                     len(list_filter(ws_a, w -> list_contains(ws_b, w)))::DOUBLE
+                     / (len(ws_a) + len(ws_b)
+                        - len(list_filter(ws_a, w -> list_contains(ws_b, w)))),
+                     4) AS jaccard
+            FROM cands
+        ) WHERE jaccard >= 0.7
+    """,
+    "ivf_probe": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+            FROM embeddings
+        ), q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT vec_id, bucket,
+               round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))),
+                     3) AS cosine
+        FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
+        ORDER BY cosine DESC, vec_id ASC LIMIT 5
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, count(*) AS n_copies,
