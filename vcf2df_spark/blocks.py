@@ -37,6 +37,12 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("meta", T.StringType(), False),  # JSON codec params
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("enc_bytes", T.LongType(), False),
+        # zone maps: per-chunk min/max for predicate-driven chunk pruning
+        # (the engine's analogue of Parquet row-group statistics)
+        T.StructField("stat_min_str", T.StringType(), True),
+        T.StructField("stat_max_str", T.StringType(), True),
+        T.StructField("stat_min_num", T.LongType(), True),
+        T.StructField("stat_max_num", T.LongType(), True),
     ]
 )
 

@@ -37,11 +37,17 @@ _TRANSCRIPT_ARROW_SCHEMA = pa.schema(
 
 
 def decode_chunk_arrow(block_rows: list[dict]) -> pa.Table:
-    """Six block dicts (one per column) -> reconstructed Arrow chunk."""
+    """Block dicts (one per column present) -> reconstructed Arrow chunk.
+
+    Columns absent from ``block_rows`` are skipped — the column-pruned
+    decode path ships only the requested columns' blocks to this UDF.
+    """
     by_col = {r["column"]: r for r in block_rows}
     n = int(block_rows[0]["n_rows"])
     cols = {}
     for col in TRANSCRIPT_COLUMNS:
+        if col not in by_col:
+            continue
         r = by_col[col]
         payload = bytes(r["payload"] or b"")
         aux = bytes(r["aux"] or b"")
@@ -59,17 +65,34 @@ def decode_chunk_arrow(block_rows: list[dict]) -> pa.Table:
                 cols[col] = pa.array(
                     np.asarray(values, dtype=np.int64)
                 ).cast(pa.timestamp("us", tz="UTC"))
-    return pa.Table.from_arrays(
-        [cols[c] for c in TRANSCRIPT_COLUMNS], schema=_TRANSCRIPT_ARROW_SCHEMA
-    )
+    present = [c for c in TRANSCRIPT_COLUMNS if c in cols]
+    schema = pa.schema([_TRANSCRIPT_ARROW_SCHEMA.field(c) for c in present])
+    return pa.Table.from_arrays([cols[c] for c in present], schema=schema)
 
 
 def _decode_group(table: pa.Table) -> pa.Table:
     return decode_chunk_arrow(table.to_pylist())
 
 
-def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """blocks -> transcripts (row order unspecified; sort to compare)."""
+def decode_blocks(blocks: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """blocks -> transcripts (row order unspecified; sort to compare).
+
+    ``columns`` prunes the decode to the requested columns: only those
+    columns' block rows are shuffled and decoded — the columnar read path
+    (analogue of ReadSchema pruning at a parquet scan, but over our own
+    encoded blocks).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    if columns is None:
+        out_schema = TRANSCRIPT_SCHEMA
+    else:
+        order = [c for c in TRANSCRIPT_COLUMNS if c in set(columns)]
+        blocks = blocks.filter(F.col("column").isin(order))
+        out_schema = T.StructType(
+            [TRANSCRIPT_SCHEMA[c] for c in order]
+        )
     return blocks.groupBy("partition_id", "chunk_idx").applyInArrow(
-        _decode_group, TRANSCRIPT_SCHEMA
+        _decode_group, out_schema
     )

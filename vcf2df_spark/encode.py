@@ -53,6 +53,10 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
         pa.field("meta", pa.string()),
         pa.field("raw_bytes", pa.int64()),
         pa.field("enc_bytes", pa.int64()),
+        pa.field("stat_min_str", pa.string()),
+        pa.field("stat_max_str", pa.string()),
+        pa.field("stat_min_num", pa.int64()),
+        pa.field("stat_max_num", pa.int64()),
     ]
 )
 
@@ -65,14 +69,22 @@ def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int) -> li
         arr = chunk.column(col)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        smin_str = smax_str = None
+        smin_num = smax_num = None
         if col in _STRING_COLS:
             codec, payload, aux, meta, raw_bytes = arrow_ops.encode_string_column(arr)
+            if col == "conv_id" and n:  # chunk is sorted by (conv_id, turn_idx)
+                smin_str = arr[0].as_py()
+                smax_str = arr[n - 1].as_py()
         else:
             if col == "ts":
                 values = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
             else:
                 values = arr.to_numpy(zero_copy_only=False)
             codec, payload, aux, meta, raw_bytes = arrow_ops.encode_int_column(values)
+            if n:
+                smin_num = int(values.min())
+                smax_num = int(values.max())
         rows.append(
             {
                 "partition_id": partition_id,
@@ -85,22 +97,32 @@ def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int) -> li
                 "meta": json.dumps(meta, separators=(",", ":")),
                 "raw_bytes": int(raw_bytes),
                 "enc_bytes": len(payload) + len(aux),
+                "stat_min_str": smin_str,
+                "stat_max_str": smax_str,
+                "stat_min_num": smin_num,
+                "stat_max_num": smax_num,
             }
         )
     return rows
 
 
-def _encode_group(table: pa.Table) -> pa.Table:
-    partition_id = int(table.column("_pkey")[0].as_py())
-    idx = pc.sort_indices(
-        table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-    )
-    table = table.take(idx)
-    out: list[dict] = []
-    for chunk_idx, lo in enumerate(range(0, table.num_rows, CHUNK_ROWS)):
-        chunk = table.slice(lo, CHUNK_ROWS)
-        out.extend(encode_chunk_arrow(chunk, partition_id, chunk_idx))
-    return pa.Table.from_pylist(out, schema=_BLOCKS_ARROW_SCHEMA)
+def _make_encode_group(chunk_rows: int = CHUNK_ROWS):
+    def _encode_group(table: pa.Table) -> pa.Table:
+        partition_id = int(table.column("_pkey")[0].as_py())
+        idx = pc.sort_indices(
+            table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        table = table.take(idx)
+        out: list[dict] = []
+        for chunk_idx, lo in enumerate(range(0, table.num_rows, chunk_rows)):
+            chunk = table.slice(lo, chunk_rows)
+            out.extend(encode_chunk_arrow(chunk, partition_id, chunk_idx))
+        return pa.Table.from_pylist(out, schema=_BLOCKS_ARROW_SCHEMA)
+
+    return _encode_group
+
+
+_encode_group = _make_encode_group()
 
 
 def with_partition_key(df: DataFrame, num_partitions: int) -> DataFrame:
@@ -129,11 +151,22 @@ def normalize_input(df: DataFrame) -> DataFrame:
     )
 
 
-def encode_keyed(keyed: DataFrame) -> DataFrame:
-    """Pre-keyed transcripts (has _pkey) -> blocks; Arrow-native UDF."""
-    return keyed.groupBy("_pkey").applyInArrow(_encode_group, BLOCKS_SCHEMA)
+def encode_keyed(keyed: DataFrame, chunk_rows: int = CHUNK_ROWS) -> DataFrame:
+    """Pre-keyed transcripts (has _pkey) -> blocks; Arrow-native UDF.
+
+    ``chunk_rows`` trades compression ratio against zone-map pruning
+    granularity: chunks are contiguous (conv_id, turn_idx)-sorted slices of
+    a partition, so smaller chunks give the scan path (scan.py) finer
+    min/max pruning within each hash partition.
+    """
+    return keyed.groupBy("_pkey").applyInArrow(
+        _make_encode_group(chunk_rows), BLOCKS_SCHEMA
+    )
 
 
-def encode_transcripts(df: DataFrame, num_partitions: int = 32) -> DataFrame:
+def encode_transcripts(df: DataFrame, num_partitions: int = 32,
+                       chunk_rows: int = CHUNK_ROWS) -> DataFrame:
     """transcripts -> blocks. One shuffle (groupBy _pkey); Arrow-native."""
-    return encode_keyed(with_partition_key(normalize_input(df), num_partitions))
+    return encode_keyed(
+        with_partition_key(normalize_input(df), num_partitions), chunk_rows
+    )

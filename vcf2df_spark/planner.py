@@ -95,8 +95,14 @@ def candidate_codecs(stats: ColumnStats) -> list[str]:
     return ["fsst"]
 
 
-try:  # sink-compression proxy: the blocks table is written as Parquet/zstd,
-    # so the selection objective is POST-zstd bytes, not pre-zstd bytes
+# sink-compression proxy: the blocks table is written as Parquet/zstd, so the
+# selection objective is POST-zstd bytes, not pre-zstd bytes. Candidates are
+# compared on a bounded prefix (they encode the same underlying rows, so the
+# relative ratio is preserved) — compressing multi-MB payloads twice per
+# candidate would dominate encode time.
+_PROXY_CAP = 1 << 19
+
+try:
     import pyarrow as pa
 
     _ZSTD = pa.Codec("zstd")
@@ -104,9 +110,11 @@ try:  # sink-compression proxy: the blocks table is written as Parquet/zstd,
     def _disk_proxy(payload: bytes, aux: bytes) -> int:
         out = 0
         if payload:
-            out += len(_ZSTD.compress(payload))
+            scale = max(1.0, len(payload) / _PROXY_CAP)
+            out += int(len(_ZSTD.compress(payload[:_PROXY_CAP])) * scale)
         if aux:
-            out += len(_ZSTD.compress(aux))
+            scale = max(1.0, len(aux) / _PROXY_CAP)
+            out += int(len(_ZSTD.compress(aux[:_PROXY_CAP])) * scale)
         return out
 
 except Exception:  # pragma: no cover - pyarrow always present in target env

@@ -1,0 +1,123 @@
+"""Predicate-driven scan over the encoded warehouse: zone-map chunk pruning
+plus column-pruned decode.
+
+Each block row carries its chunk's min/max (conv_id as strings; turn_idx and
+ts as int64 — ts in unix micros) — the engine's analogue of Parquet
+row-group statistics, made queryable because blocks are themselves a table.
+A scan with predicates first selects the qualifying (partition_id,
+chunk_idx) pairs from the tiny stats projection, semi-joins the blocks table
+down to those chunks and the requested columns, decodes, and applies the
+exact residual filter. Chunks that can't match never leave the scan —
+at 100 TB that is the difference between touching terabytes and megabytes.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .blocks import TRANSCRIPT_COLUMNS
+from .decode import decode_blocks
+
+_CHUNK_KEY = ["partition_id", "chunk_idx"]
+
+
+def _overlap_str(lo: str | None, hi: str | None):
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col("stat_max_str") >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col("stat_min_str") <= F.lit(hi))
+    return cond
+
+
+def _overlap_num(lo: int | None, hi: int | None):
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col("stat_max_num") >= F.lit(int(lo)))
+    if hi is not None:
+        cond = cond & (F.col("stat_min_num") <= F.lit(int(hi)))
+    return cond
+
+
+def _to_micros(v) -> int:
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return int(v)
+
+
+def qualifying_chunks(
+    blocks: DataFrame,
+    conv_id_range: tuple[str | None, str | None] | None = None,
+    turn_idx_range: tuple[int | None, int | None] | None = None,
+    ts_range: tuple | None = None,
+) -> DataFrame:
+    """Chunk keys whose zone maps overlap every given predicate range."""
+    qual = blocks.select(*_CHUNK_KEY).distinct()
+    specs = []
+    if conv_id_range is not None:
+        specs.append(("conv_id", _overlap_str(*conv_id_range)))
+    if turn_idx_range is not None:
+        specs.append(("turn_idx", _overlap_num(*turn_idx_range)))
+    if ts_range is not None:
+        lo, hi = ts_range
+        specs.append(
+            ("ts", _overlap_num(
+                None if lo is None else _to_micros(lo),
+                None if hi is None else _to_micros(hi),
+            ))
+        )
+    for col, cond in specs:
+        keys = blocks.filter(F.col("column") == col).filter(cond).select(*_CHUNK_KEY)
+        qual = qual.join(keys, _CHUNK_KEY, "left_semi")
+    return qual
+
+
+def scan_transcripts(
+    spark: SparkSession,
+    warehouse: str,
+    columns: list[str] | None = None,
+    conv_id_range: tuple[str | None, str | None] | None = None,
+    turn_idx_range: tuple[int | None, int | None] | None = None,
+    ts_range: tuple | None = None,
+) -> DataFrame:
+    """Decode only the chunks/columns a predicate can touch, then filter
+    exactly. Residual filters need their predicate columns decoded too."""
+    blocks = spark.read.parquet(f"{warehouse}/blocks")
+    qual = qualifying_chunks(blocks, conv_id_range, turn_idx_range, ts_range)
+    pruned = blocks.join(F.broadcast(qual), _CHUNK_KEY, "left_semi")
+
+    need = set(columns or TRANSCRIPT_COLUMNS)
+    if conv_id_range is not None:
+        need.add("conv_id")
+    if turn_idx_range is not None:
+        need.add("turn_idx")
+    if ts_range is not None:
+        need.add("ts")
+    decoded = decode_blocks(pruned, columns=sorted(need))
+
+    if conv_id_range is not None:
+        lo, hi = conv_id_range
+        if lo is not None:
+            decoded = decoded.filter(F.col("conv_id") >= lo)
+        if hi is not None:
+            decoded = decoded.filter(F.col("conv_id") <= hi)
+    if turn_idx_range is not None:
+        lo, hi = turn_idx_range
+        if lo is not None:
+            decoded = decoded.filter(F.col("turn_idx") >= lo)
+        if hi is not None:
+            decoded = decoded.filter(F.col("turn_idx") <= hi)
+    if ts_range is not None:
+        lo, hi = ts_range
+        if lo is not None:
+            decoded = decoded.filter(F.unix_micros("ts") >= _to_micros(lo))
+        if hi is not None:
+            decoded = decoded.filter(F.unix_micros("ts") <= _to_micros(hi))
+    if columns is not None:
+        decoded = decoded.select(*[c for c in TRANSCRIPT_COLUMNS if c in set(columns)])
+    return decoded
