@@ -27,6 +27,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import functions as F
 
+    from vcf2df_spark import manifest as manifest_mod
     from vcf2df_spark.decode import decode_blocks
     from vcf2df_spark.encode import normalize_input
     from vcf2df_spark.session import get_spark
@@ -41,6 +42,24 @@ def main(argv: list[str] | None = None) -> None:
     decoded = decode_blocks(blocks)
     source = normalize_input(spark.read.parquet(args.source))
 
+    # manifest integrity: recompute each partition's content checksum from
+    # the stored blocks and compare to the committed manifest row
+    checksum_mismatches = -1
+    try:
+        committed = spark.read.parquet(f"{args.warehouse}/manifests").select(
+            "partition_id", F.col("checksum").alias("committed_checksum")
+        )
+        recomputed = manifest_mod.build_manifests(blocks, "verify", args.source).select(
+            "partition_id", "checksum"
+        )
+        checksum_mismatches = (
+            recomputed.join(committed, "partition_id")
+            .filter(F.col("checksum") != F.col("committed_checksum"))
+            .count()
+        )
+    except Exception:
+        pass  # no manifests table (e.g. bench warehouse) -> skip
+
     def canon(df):
         return df.select(
             "conv_id", "turn_idx", "role", "text", "tool",
@@ -53,7 +72,8 @@ def main(argv: list[str] | None = None) -> None:
     extra = d.exceptAll(s).count()
     n_src = s.count()
     n_dec = d.count()
-    ok = missing == 0 and extra == 0 and n_src == n_dec
+    ok = (missing == 0 and extra == 0 and n_src == n_dec
+          and checksum_mismatches <= 0)
 
     print(json.dumps({
         "status": "bit-identical" if ok else "MISMATCH",
@@ -61,6 +81,7 @@ def main(argv: list[str] | None = None) -> None:
         "rows_decoded": n_dec,
         "rows_missing": missing,
         "rows_extra": extra,
+        "manifest_checksum_mismatches": checksum_mismatches,
         "wall_sec": round(time.time() - t0, 2),
     }))
     if owns_session:

@@ -149,6 +149,19 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+# --- BPE-ish token counting (pandas UDF surface) --------------------------------
+
+def q_bpe_tokens(spark, sf_dir):
+    from vcf2df_spark.functions import bpe_token_count, utf8_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        utf8_ratio("text").alias("bytes_per_char"),
+    )
+
+
 # --- quality scoring ----------------------------------------------------------
 
 def q_quality_score(spark, sf_dir):
@@ -369,6 +382,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
     "token_stats": q_token_stats,
+    "bpe_tokens": q_bpe_tokens,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -515,6 +529,15 @@ ORACLES = {
                len({_SQL_WORDS}) AS n_tokens,
                len(list_distinct({_SQL_WORDS})) AS n_distinct_tokens,
                length(text) AS n_chars_actual
+        FROM documents
+    """,
+    "bpe_tokens": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+                   AS n_bpe_tokens,
+               round(octet_length(encode(text))::DOUBLE
+                     / greatest(length(text), 1), 6) AS bytes_per_char
         FROM documents
     """,
     "quality_score": f"""
