@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
     p.add_argument("--fail-after", type=int, default=None,
                    help="encode only the first K pending partitions, then exit(3)")
+    p.add_argument("--on-duplicates", choices=["fail", "quarantine", "ignore"],
+                   default="fail",
+                   help="input invariant: (conv_id, turn_idx) must be unique. "
+                        "fail -> exit(5); quarantine -> keep one copy per key, "
+                        "write the rest to <out>/quarantine (reference analogue: "
+                        "multi-allelic warning, parseVariant.go:16-18 — but loud)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -48,6 +54,28 @@ def main(argv: list[str] | None = None) -> None:
 
     t0 = time.time()
     df = normalize_input(spark.read.parquet(args.input))
+
+    # input invariant (SURVEY.md §1.5 B3): (conv_id, turn_idx) unique
+    n_dup_rows = 0
+    if args.on_duplicates != "ignore":
+        from pyspark.sql.window import Window
+
+        wdup = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            F.unix_micros("ts"), F.md5("text")
+        )
+        ranked = df.withColumn("_rn", F.row_number().over(wdup))
+        dupes = ranked.filter(F.col("_rn") > 1).drop("_rn")
+        n_dup_rows = dupes.count()
+        if n_dup_rows:
+            if args.on_duplicates == "fail":
+                print(json.dumps({"job_id": args.job_id, "status": "invalid-input",
+                                  "duplicate_rows": n_dup_rows}))
+                if owns_session:
+                    spark.stop()
+                sys.exit(5)
+            dupes.write.mode("append").parquet(f"{args.out}/quarantine")
+            df = ranked.filter(F.col("_rn") == 1).drop("_rn")
+
     keyed = with_partition_key(df, args.partitions)
 
     # materialize the committed set on the driver: cuts the plan's lineage to
@@ -103,6 +131,7 @@ def main(argv: list[str] | None = None) -> None:
         "raw_bytes": int(stats["raw"]),
         "enc_bytes": int(stats["enc"]),
         "ratio": round(stats["raw"] / max(stats["enc"], 1), 3),
+        "quarantined_rows": n_dup_rows,
         "wall_sec": round(wall, 2),
         "turns_per_sec": int(rows / wall),
     }))

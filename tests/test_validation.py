@@ -1,0 +1,50 @@
+"""Input invariant validation (SURVEY.md §1.5 B3): duplicate
+(conv_id, turn_idx) keys fail loudly or are quarantined — never silently
+encoded (the reference only logs a warning, parseVariant.go:16-18)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import jobs.encode as encode_job
+from vcf2df_spark import fixtures
+
+
+def _run(argv):
+    try:
+        encode_job.main(argv)
+        return 0
+    except SystemExit as e:
+        return int(e.code or 0)
+
+
+@pytest.fixture()
+def dup_input(tmp_path):
+    src = fixtures.transcripts_tiny()
+    dup = pd.concat([src, src.iloc[[1, 3]]], ignore_index=True)  # 2 dup keys
+    p = tmp_path / "dup.parquet"
+    fixtures.write_parquet(dup, str(p))
+    return str(p), len(src)
+
+
+def test_duplicates_fail_by_default(spark, dup_input, tmp_path):
+    path, _ = dup_input
+    rc = _run(["--input", path, "--out", str(tmp_path / "w1"),
+               "--partitions", "2", "--master", "local[2]"])
+    assert rc == 5
+
+
+def test_duplicates_quarantine(spark, dup_input, tmp_path):
+    path, n_unique = dup_input
+    wh = str(tmp_path / "w2")
+    rc = _run(["--input", path, "--out", wh, "--partitions", "2",
+               "--master", "local[2]", "--on-duplicates", "quarantine"])
+    assert rc == 0
+    q = spark.read.parquet(f"{wh}/quarantine")
+    assert q.count() == 2
+    from vcf2df_spark.decode import decode_blocks
+
+    decoded = decode_blocks(spark.read.parquet(f"{wh}/blocks"))
+    assert decoded.count() == n_unique
+    assert decoded.select("conv_id", "turn_idx").distinct().count() == n_unique
