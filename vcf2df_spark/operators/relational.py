@@ -348,6 +348,78 @@ def q_normalize_text(spark, sf_dir):
     return docs.select("doc_id", F.md5(norm).alias("norm_hash"))
 
 
+# --- ranking windows (row_number/rank/dense_rank) ---------------------------------
+
+def q_rank_windows(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey", "c_nationkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- correlated-subquery shape (above-group-average filter) -------------------------
+
+def q_above_nation_avg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    avg_by_nation = c.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(avg_by_nation), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
+
+
+# --- string functions (P5-style scalar surface) --------------------------------------
+
+def q_string_funcs(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.substring("n_name", 1, 3).alias("prefix3"),
+        F.lpad("n_name", 12, ".").alias("padded"),
+        F.reverse("n_name").alias("reversed"),
+        F.length("n_name").alias("name_len"),
+        F.concat_ws("/", "n_name", F.col("n_regionkey").cast("string")).alias("tagged"),
+    )
+
+
+# --- edit-distance near-pairs (levenshtein over blocked candidates) -------------------
+
+def q_levenshtein_pairs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.substring(F.col("a.p_brand"), 1, 6)
+           == F.substring(F.col("b.p_brand"), 1, 6)),
+    )
+    return (
+        pairs.select(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+            F.levenshtein(F.col("a.p_brand"), F.col("b.p_brand")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .groupBy("brand_a", "brand_b", "dist")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 # --- histogram / bucketed agg ----------------------------------------------------
 
 def q_histogram(spark, sf_dir):
@@ -380,6 +452,10 @@ QUERIES = {
     "sessionize": q_sessionize,
     "json_extract": q_json_extract,
     "normalize_text": q_normalize_text,
+    "rank_windows": q_rank_windows,
+    "above_nation_avg": q_above_nation_avg,
+    "string_funcs": q_string_funcs,
+    "levenshtein_pairs": q_levenshtein_pairs,
     "derived_key": q_derived_key,
     "filter_pushdown": q_filter_pushdown,
     "explode_wordcount": q_explode_wordcount,
@@ -450,6 +526,43 @@ ORACLES = {
         SELECT user_id, session_idx, count(*) AS n_events,
                max(ts_us) - min(ts_us) AS duration_us
         FROM marked GROUP BY user_id, session_idx
+    """,
+    "rank_windows": """
+        SELECT c_custkey, c_nationkey, rn, rnk, drnk FROM (
+            SELECT c_custkey, c_nationkey,
+                   row_number() OVER w AS rn,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
+        ) WHERE rn <= 3
+    """,
+    "above_nation_avg": """
+        SELECT c_nationkey, count(*) AS n_above_avg
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey
+    """,
+    "string_funcs": """
+        SELECT n_nationkey,
+               substr(n_name, 1, 3) AS prefix3,
+               lpad(n_name, 12, '.') AS padded,
+               reverse(n_name) AS reversed,
+               length(n_name) AS name_len,
+               concat_ws('/', n_name, CAST(n_regionkey AS VARCHAR)) AS tagged
+        FROM nation
+    """,
+    "levenshtein_pairs": """
+        SELECT brand_a, brand_b, dist, count(*) AS n_pairs FROM (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   levenshtein(a.p_brand, b.p_brand) AS dist
+            FROM part a JOIN part b
+              ON a.p_partkey < b.p_partkey
+             AND substr(a.p_brand, 1, 6) = substr(b.p_brand, 1, 6)
+        ) WHERE dist <= 1
+        GROUP BY brand_a, brand_b, dist
     """,
     "json_extract": """
         SELECT event_type,
