@@ -72,12 +72,10 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
         t_decode = time.time() - t0
 
         t0 = time.time()
+        from vcf2df_spark.verify import multiset_equal
 
-        def canon(df):
-            return df.select("conv_id", "turn_idx", "role", "text", "tool",
-                             F.unix_micros("ts").alias("ts_us"))
-
-        mismatch = canon(src).exceptAll(canon(decoded)).count()
+        res = multiset_equal(src, decoded)
+        mismatch = 0 if res["equal"] else 1
         t_verify = time.time() - t0
 
         agg = stored.agg(F.sum("raw_bytes").alias("raw"),

@@ -23,6 +23,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--warehouse", required=True)
     p.add_argument("--source", required=True)
     p.add_argument("--master", default=None)
+    p.add_argument("--deep", action="store_true",
+                   help="exact exceptAll comparison (two full-data shuffles) "
+                        "instead of the O(1)-shuffle multiset signature")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -60,20 +63,28 @@ def main(argv: list[str] | None = None) -> None:
     except Exception:
         pass  # no manifests table (e.g. bench warehouse) -> skip
 
-    def canon(df):
-        return df.select(
-            "conv_id", "turn_idx", "role", "text", "tool",
-            F.unix_micros("ts").alias("ts_us"),
-        )
+    if args.deep:
+        # exact: exceptAll in both directions is empty
+        def canon(df):
+            return df.select(
+                "conv_id", "turn_idx", "role", "text", "tool",
+                F.unix_micros("ts").alias("ts_us"),
+            )
 
-    # distributed bit-identity check: exceptAll in both directions is empty
-    d, s = canon(decoded), canon(source)
-    missing = s.exceptAll(d).count()
-    extra = d.exceptAll(s).count()
-    n_src = s.count()
-    n_dec = d.count()
-    ok = (missing == 0 and extra == 0 and n_src == n_dec
-          and checksum_mismatches <= 0)
+        d, s = canon(decoded), canon(source)
+        missing = s.exceptAll(d).count()
+        extra = d.exceptAll(s).count()
+        n_src = s.count()
+        n_dec = d.count()
+        rows_equal = missing == 0 and extra == 0 and n_src == n_dec
+    else:
+        from vcf2df_spark.verify import multiset_equal
+
+        res = multiset_equal(source, decoded)
+        n_src, n_dec = res["rows_left"], res["rows_right"]
+        rows_equal = res["equal"]
+        missing = extra = 0 if rows_equal else -1
+    ok = rows_equal and checksum_mismatches <= 0
 
     print(json.dumps({
         "status": "bit-identical" if ok else "MISMATCH",

@@ -1,0 +1,40 @@
+"""Fast distributed equality checks between two transcript DataFrames.
+
+``exceptAll`` both ways is exact but shuffles the full data twice. For the
+routine bit-identity gate we instead compare order-insensitive multiset
+signatures computed map-side: per row a 64-bit content hash, aggregated
+with count + XOR + modular sum. Each aggregate is commutative, so Catalyst
+computes them as partial+final with no full-data shuffle — O(rows) scan,
+O(1) shuffle. Collision odds for accidental equality are ~2^-64 per
+aggregate and the three aggregates are independent checks.
+
+The deep (exact) path stays available for forensics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P = 2_147_483_629  # large 31-bit prime: modular sum stays overflow-free
+
+
+def _signature(df: DataFrame):
+    sig = F.xxhash64(
+        "conv_id", "turn_idx", "role", "text", "tool", F.unix_micros("ts")
+    )
+    return df.select(
+        F.count("*").alias("n"),
+        F.bit_xor(sig).alias("h_xor"),
+        F.sum(F.pmod(sig, F.lit(_P))).alias("h_sum"),
+    ).collect()[0]
+
+
+def multiset_equal(left: DataFrame, right: DataFrame) -> dict:
+    """Order-insensitive multiset equality over the six columns."""
+    l, r = _signature(left), _signature(right)
+    return {
+        "equal": (l.n, l.h_xor, l.h_sum) == (r.n, r.h_xor, r.h_sum),
+        "rows_left": l.n,
+        "rows_right": r.n,
+    }
