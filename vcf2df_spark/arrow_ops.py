@@ -76,8 +76,17 @@ def _unpack_lengths(aux: bytes, meta: dict, n: int) -> np.ndarray:
     return bitpack.unpack_u64(aux, meta["lwidth"], n).astype(np.int64) + meta["lmin"]
 
 
-def encode_string_column(arr: pa.Array) -> tuple[str, bytes, bytes, dict, int]:
-    """Measured candidate selection over Arrow buffers (see planner)."""
+def encode_string_column(
+    arr: pa.Array, fsst_hint: bool | None = None
+) -> tuple[str, bytes, bytes, dict, int]:
+    """Measured candidate selection over Arrow buffers (see planner).
+
+    ``fsst_hint`` short-circuits the FSST sample trial: the encode group
+    runs many chunks of the same column whose text statistics barely move,
+    so the first chunk's verdict is reused for the rest of the group
+    (per-group cache in encode.py) — the trial dominates per-chunk cost
+    otherwise.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -119,7 +128,11 @@ def encode_string_column(arr: pa.Array) -> tuple[str, bytes, bytes, dict, int]:
         if size < best_size:
             best, best_size = ("rle", payload, aux_table, meta), size
     else:
-        if planner.fsst_sample_wins_buf(buf, lengths):
+        fsst_wins = (
+            fsst_hint if fsst_hint is not None
+            else planner.fsst_sample_wins_buf(buf, lengths)
+        )
+        if fsst_wins:
             symbols = fsst.train(buf)
             segs = [
                 fsst.encode_buffer(buf[i : i + fsst.SEGMENT_BYTES], symbols)

@@ -61,10 +61,16 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
 )
 
 
-def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int) -> list[dict]:
-    """Encode one sorted chunk: six column blocks, Arrow/numpy kernels only."""
+def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int,
+                       fsst_cache: dict | None = None) -> list[dict]:
+    """Encode one sorted chunk: six column blocks, Arrow/numpy kernels only.
+
+    ``fsst_cache`` carries per-column FSST trial verdicts across the chunks
+    of one group (the raw floor in the selector keeps a stale verdict safe).
+    """
     rows = []
     n = chunk.num_rows
+    cache = fsst_cache if fsst_cache is not None else {}
     for col in TRANSCRIPT_COLUMNS:
         arr = chunk.column(col)
         if isinstance(arr, pa.ChunkedArray):
@@ -72,7 +78,13 @@ def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int) -> li
         smin_str = smax_str = None
         smin_num = smax_num = None
         if col in _STRING_COLS:
-            codec, payload, aux, meta, raw_bytes = arrow_ops.encode_string_column(arr)
+            codec, payload, aux, meta, raw_bytes = arrow_ops.encode_string_column(
+                arr, fsst_hint=cache.get(col)
+            )
+            if codec == "fsst":
+                cache[col] = True
+            elif codec == "raw":
+                cache[col] = False
             if col == "conv_id" and n:  # chunk is sorted by (conv_id, turn_idx)
                 smin_str = arr[0].as_py()
                 smax_str = arr[n - 1].as_py()
@@ -114,9 +126,10 @@ def _make_encode_group(chunk_rows: int = CHUNK_ROWS):
         )
         table = table.take(idx)
         out: list[dict] = []
+        fsst_cache: dict = {}
         for chunk_idx, lo in enumerate(range(0, table.num_rows, chunk_rows)):
             chunk = table.slice(lo, chunk_rows)
-            out.extend(encode_chunk_arrow(chunk, partition_id, chunk_idx))
+            out.extend(encode_chunk_arrow(chunk, partition_id, chunk_idx, fsst_cache))
         return pa.Table.from_pylist(out, schema=_BLOCKS_ARROW_SCHEMA)
 
     return _encode_group
