@@ -82,3 +82,13 @@ def test_turn_idx_pruning(spark, tmp_path):
     ).toPandas()
     want = src[src.turn_idx >= 150]
     assert len(got) == len(want)
+
+
+def test_sql_view_over_encoded_warehouse(spark, tmp_path):
+    src, wh = _warehouse(spark, tmp_path)
+    scan.register_transcript_view(spark, wh, "t_view")
+    out = spark.sql(
+        "SELECT role, count(*) AS n FROM t_view GROUP BY role"
+    ).toPandas().set_index("role")["n"]
+    want = src.groupby("role").size()
+    assert out.sort_index().equals(want.sort_index())

@@ -254,6 +254,56 @@ def q_ann_buckets(spark, sf_dir):
     )
 
 
+# --- embedding-cosine near-duplicates (label-blocked brute force) --------------------
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v)
+    )
+    sim = F.round(dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding"))), 3)
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+# --- quality filter (the kept-documents pipeline verdict) ----------------------------
+
+def q_quality_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    ttr = F.size(F.array_distinct(_words())) / n_tok
+    keep = (n_tok >= 20) & (ttr >= 0.3)
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+# --- corpus token-length histogram ----------------------------------------------------
+
+def q_token_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.floor(F.size(_words()) / 10).cast("long")
+    return docs.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 # --- multimodal metadata plumbing (binary column, typed meta) ------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -388,6 +438,9 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "ann_buckets": q_ann_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
+    "quality_filter": q_quality_filter,
+    "token_histogram": q_token_histogram,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -586,6 +639,28 @@ ORACLES = {
               + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket,
                count(*) AS n_vectors
         FROM embeddings GROUP BY 1
+    """,
+    "embedding_near_dup": """
+        SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                         3) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.9
+    """,
+    "quality_filter": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE len({_SQL_WORDS}) >= 20
+          AND len(list_distinct({_SQL_WORDS}))::DOUBLE
+              / len({_SQL_WORDS}) >= 0.3
+    """,
+    "token_histogram": f"""
+        SELECT CAST(floor(len({_SQL_WORDS}) / 10) AS BIGINT) AS bucket,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
     """,
     "multimodal_meta": """
         SELECT doc_id,

@@ -77,6 +77,18 @@ def qualifying_chunks(
     return qual
 
 
+def register_transcript_view(spark: SparkSession, warehouse: str,
+                             name: str = "transcripts") -> None:
+    """Expose the encoded warehouse as a SQL view: ``SELECT ... FROM name``.
+
+    Decode happens lazily per query; combine with :func:`scan_transcripts`
+    for predicate-pruned access. This is the switch-over surface for users
+    of the reference: their SQL keeps working, storage is ours.
+    """
+    blocks = spark.read.parquet(f"{warehouse}/blocks")
+    decode_blocks(blocks).createOrReplaceTempView(name)
+
+
 def scan_transcripts(
     spark: SparkSession,
     warehouse: str,
