@@ -48,3 +48,21 @@ def test_duplicates_quarantine(spark, dup_input, tmp_path):
     decoded = decode_blocks(spark.read.parquet(f"{wh}/blocks"))
     assert decoded.count() == n_unique
     assert decoded.select("conv_id", "turn_idx").distinct().count() == n_unique
+
+
+def test_null_strings_normalize_to_empty(spark):
+    """Reference P7 parity: null strings become typed defaults (\"\")."""
+    import pandas as pd
+
+    from vcf2df_spark.decode import decode_blocks
+    from vcf2df_spark.encode import encode_transcripts
+
+    src = fixtures.transcripts_tiny()
+    src.loc[0, "tool"] = None
+    src.loc[1, "text"] = None
+    df = spark.createDataFrame(src)
+    decoded = decode_blocks(encode_transcripts(df, num_partitions=2)).toPandas()
+    d = decoded.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert d.loc[0, "tool"] == ""
+    assert d.loc[1, "text"] == ""
+    assert d.notna().all().all()

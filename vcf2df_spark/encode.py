@@ -155,11 +155,19 @@ def normalize_input(df: DataFrame) -> DataFrame:
     Parquet written without tz info reads back as TIMESTAMP_NTZ; with the
     session timezone pinned to UTC (session.py) the cast is value-identical,
     so bit-identity on unix_micros is preserved in both directions.
+
+    Null strings normalize to "" — the reference's typed zero-default move
+    (``converter/formatOutput.go:89-116``: absence encoded as a typed
+    default, never null). Null keys (conv_id/turn_idx/ts) are invalid input
+    and fail loudly at encode (non-nullable output schema).
     """
+    empty = F.lit("")
     return df.select(
-        "conv_id",
+        F.coalesce("conv_id", empty).alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
-        "role", "text", "tool",
+        F.coalesce("role", empty).alias("role"),
+        F.coalesce("text", empty).alias("text"),
+        F.coalesce("tool", empty).alias("tool"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
 

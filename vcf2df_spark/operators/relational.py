@@ -276,6 +276,7 @@ def q_range_join(spark, sf_dir):
 def q_asof_prior_click(spark, sf_dir):
     from pyspark.sql.window import Window
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # epoch_us parity
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")  # NTZ -> LTZ (UTC session)
     )
@@ -304,6 +305,7 @@ def q_asof_prior_click(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     from pyspark.sql.window import Window
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # epoch_us parity
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
