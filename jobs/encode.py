@@ -23,6 +23,9 @@ import time
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet", choices=["parquet", "jsonl", "csv"],
+                   help="input format (jsonl = gzip-friendly line JSON, the "
+                        "reference's gzip-text analogue)")
     p.add_argument("--out", required=True, help="warehouse dir: gets /blocks and /manifests")
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--job-id", default="job-default")
@@ -40,7 +43,7 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from vcf2df_spark import manifest
-    from vcf2df_spark.encode import encode_keyed, normalize_input, with_partition_key
+    from vcf2df_spark.encode import encode_keyed, with_partition_key
     from vcf2df_spark.session import get_spark
 
     from pyspark.sql import SparkSession
@@ -53,7 +56,9 @@ def main(argv: list[str] | None = None) -> None:
     manifests_path = f"{args.out}/manifests"
 
     t0 = time.time()
-    df = normalize_input(spark.read.parquet(args.input))
+    from vcf2df_spark.sources import read_transcripts
+
+    df = read_transcripts(spark, args.input, args.format)
 
     # input invariant (SURVEY.md §1.5 B3): (conv_id, turn_idx) unique
     n_dup_rows = 0
@@ -117,6 +122,14 @@ def main(argv: list[str] | None = None) -> None:
     ).collect()[0]
     rows = stats["rows"]
 
+    # skew report: per-partition row counts from the block metadata (free)
+    psizes = (
+        blocks.filter(F.col("column") == "conv_id")
+        .groupBy("partition_id").agg(F.sum("n_rows").alias("n"))
+        .agg(F.max("n").alias("mx"), F.avg("n").alias("mean")).collect()[0]
+    )
+    balance = round(psizes["mx"] / max(psizes["mean"], 1), 3)
+
     # blocks first (idempotent per-partition overwrite), manifest commit last
     blocks.write.mode("overwrite").partitionBy("partition_id").parquet(blocks_path)
     manifests = manifest.build_manifests(blocks, args.job_id, args.input)
@@ -132,6 +145,7 @@ def main(argv: list[str] | None = None) -> None:
         "enc_bytes": int(stats["enc"]),
         "ratio": round(stats["raw"] / max(stats["enc"], 1), 3),
         "quarantined_rows": n_dup_rows,
+        "partition_max_over_mean": balance,
         "wall_sec": round(wall, 2),
         "turns_per_sec": int(rows / wall),
     }))

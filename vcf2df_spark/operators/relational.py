@@ -350,6 +350,55 @@ def q_normalize_text(spark, sf_dir):
     return docs.select("doc_id", F.md5(norm).alias("norm_hash"))
 
 
+# --- date/time functions ------------------------------------------------------------
+
+def q_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            "o_totalprice",
+        )
+        .groupBy("y", "m")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# --- funnel analysis (ordered-stage conversion over the event stream) -----------------
+
+def q_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("n_signup"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & F.col("t_click").isNotNull()
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_signup_then_click"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & F.col("t_click").isNotNull()
+                & F.col("t_buy").isNotNull()
+                & (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
+
+
 # --- ranking windows (row_number/rank/dense_rank) ---------------------------------
 
 def q_rank_windows(spark, sf_dir):
@@ -458,6 +507,8 @@ QUERIES = {
     "above_nation_avg": q_above_nation_avg,
     "string_funcs": q_string_funcs,
     "levenshtein_pairs": q_levenshtein_pairs,
+    "date_funcs": q_date_funcs,
+    "funnel": q_funnel,
     "derived_key": q_derived_key,
     "filter_pushdown": q_filter_pushdown,
     "explode_wordcount": q_explode_wordcount,
@@ -528,6 +579,30 @@ ORACLES = {
         SELECT user_id, session_idx, count(*) AS n_events,
                max(ts_us) - min(ts_us) AS duration_us
         FROM marked GROUP BY user_id, session_idx
+    """,
+    "date_funcs": """
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    """,
+    "funnel": """
+        WITH stages AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                             AND t_click > t_signup THEN 1 ELSE 0 END)
+                   AS n_signup_then_click,
+               sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                             AND t_buy IS NOT NULL AND t_click > t_signup
+                             AND t_buy > t_click THEN 1 ELSE 0 END)
+                   AS n_full_funnel
+        FROM stages
     """,
     "rank_windows": """
         SELECT c_custkey, c_nationkey, rn, rnk, drnk FROM (
