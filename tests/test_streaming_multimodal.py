@@ -74,3 +74,45 @@ def test_multimodal_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         multimodal._decode_image(b"\x89PNG")
+
+
+def test_stateful_conversation_tracker(spark, tmp_path):
+    """State accumulates across micro-batches; final per-conversation
+    counts equal the batch groupBy ground truth."""
+    from vcf2df_spark.blocks import TRANSCRIPT_SCHEMA
+
+    src = fixtures.transcripts_small(n_convs=50)
+    indir = tmp_path / "sin"
+    indir.mkdir()
+    half = len(src) // 2
+    fixtures.write_parquet(src.iloc[:half], str(indir / "a.parquet"))
+    fixtures.write_parquet(src.iloc[half:], str(indir / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = streaming.conversation_state(stream)
+    q = (
+        out.writeStream.format("memory").queryName("conv_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("SELECT * FROM conv_state").toPandas()
+        .sort_values("n_turns")
+        .groupby("conv_id").last()  # latest update per conversation
+    )
+    want = src.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"), max_turn_idx=("turn_idx", "max")
+    )
+    assert got["n_turns"].sort_index().equals(want["n_turns"].sort_index())
+    assert (
+        got["max_turn_idx"].sort_index().astype("int64")
+        .equals(want["max_turn_idx"].sort_index().astype("int64"))
+    )

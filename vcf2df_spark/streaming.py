@@ -65,6 +65,47 @@ def incremental_encode(
     )
 
 
+def conversation_state(stream: DataFrame):
+    """Custom stateful streaming operator: per-conversation running state.
+
+    ``applyInPandasWithState`` keeps (n_turns, first_us, last_us, max_turn)
+    per conv_id across micro-batches and emits an updated summary row per
+    conversation per batch — the building block for incremental per-
+    conversation statistics (the streaming twin of the planner's stats
+    sampler). Arrow-batched; state is a fixed-width tuple.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, n_turns long, first_us long, last_us long, "
+        "max_turn_idx long"
+    )
+    state_schema = "n long, first_us long, last_us long, max_turn long"
+
+    def track(key, pdfs, state: GroupState):
+        n, first_us, last_us, max_turn = (
+            state.get if state.exists else (0, None, None, -1)
+        )
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            n += len(pdf)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+        state.update((n, first_us, last_us, max_turn))
+        yield pd.DataFrame(
+            [{"conv_id": key[0], "n_turns": n, "first_us": first_us,
+              "last_us": last_us, "max_turn_idx": max_turn}]
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def turn_rate_windows(stream: DataFrame, window: str = "1 hour",
                       watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window turn counts per role (late data dropped
