@@ -150,3 +150,45 @@ def test_pack_unpack_property(xs, extra_width):
     width = max(int(v).bit_length() for v in xs)
     buf = bitpack.pack_u64(vals, width)
     assert np.array_equal(bitpack.unpack_u64(buf, width, len(vals)), vals)
+
+
+STRNUM_CASES = {
+    "conv_ids": np.array([f"conv-{i:08d}" for i in [5, 3, 3, 9, 100]], dtype=object),
+    "single": np.array(["user_0001"], dtype=object),
+    "all_digits": np.array(["0042", "9999", "0000"], dtype=object),
+    "wide": np.array([f"x{i:018d}" for i in range(20)], dtype=object),
+}
+
+
+@pytest.mark.parametrize("name", list(STRNUM_CASES))
+def test_strnum_roundtrip(name):
+    vals = STRNUM_CASES[name]
+    payload, aux, meta = codecs.encode("strnum", vals)
+    out = codecs.decode("strnum", payload, aux, meta, len(vals))
+    assert list(out) == list(vals)
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        ["conv-1", "conv-22"],          # ragged lengths
+        ["conv-a001", "conv-b002"],     # differing prefix
+        ["hello", "world"],             # no digit suffix
+        [],
+    ],
+)
+def test_strnum_rejects_nonconforming(vals):
+    from vcf2df_spark.codecs import strnum, strutil
+
+    arr = np.array(vals, dtype=object)
+    buf, lengths = strutil.strings_to_bytes_and_lengths(arr)
+    assert strnum.analyze(buf, lengths) is None
+
+
+def test_strnum_beats_dict_on_sorted_ids():
+    vals = np.repeat(
+        np.array([f"conv-{i:08d}" for i in range(500)], dtype=object), 10
+    )
+    payload, aux, meta = codecs.encode("strnum", vals)
+    dp, da, _ = codecs.encode("dict", vals)
+    assert len(payload) + len(aux) < (len(dp) + len(da)) / 4

@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import planner
-from .codecs import bitpack, fsst, strutil
+from .codecs import bitpack, fsst, strnum, strutil
 from .planner import _disk_proxy
 
 # ---------------------------------------------------------------- strings
@@ -97,6 +97,16 @@ def encode_string_column(
     if n == 0:
         return (*raw, raw_bytes)
     best, best_size = raw, _disk_proxy(buf, lpack)
+
+    # structured-id candidate: uniform length + constant prefix + digit
+    # suffix (cheap uniform-length pre-check gates the matrix analysis)
+    if len(lengths) and lengths[0] == lengths.max() == lengths.min():
+        shape = strnum.analyze(buf, lengths)
+        if shape is not None:
+            payload, aux, meta = strnum.encode_from_buf(buf, lengths, shape)
+            size = _disk_proxy(payload, aux)
+            if size < best_size:
+                best, best_size = ("strnum", payload, aux, meta), size
 
     denc = pc.dictionary_encode(arr)
     table = denc.dictionary
@@ -181,6 +191,9 @@ def decode_string_column(codec: str, payload: bytes, aux: bytes, meta: dict,
             parts.append(fsst.decode_buffer(payload[pos : pos + cl], symbols))
             pos += cl
         return strings_from_buf(b"".join(parts), lengths)
+    if codec == "strnum":
+        buf2, lengths = strnum.decode_to_buf(payload, aux, meta, n)
+        return strings_from_buf(buf2, lengths)
     raise ValueError(f"unknown string codec {codec}")
 
 

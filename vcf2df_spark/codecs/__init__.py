@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import bitpack, dictionary, fordelta, fsst, raw, rle
+from . import bitpack, dictionary, fordelta, fsst, raw, rle, strnum
 
 _CODECS = {
     bitpack.NAME: (bitpack.encode, bitpack.decode),
@@ -22,10 +22,11 @@ _CODECS = {
     dictionary.NAME: (dictionary.encode, dictionary.decode),
     rle.NAME: (rle.encode, rle.decode),
     fsst.NAME: (fsst.encode, fsst.decode),
+    strnum.NAME: (strnum.encode, strnum.decode),
     raw.NAME: (raw.encode, raw.decode),
 }
 
-STRING_CODECS = (dictionary.NAME, rle.NAME, fsst.NAME, raw.NAME)
+STRING_CODECS = (dictionary.NAME, rle.NAME, fsst.NAME, strnum.NAME, raw.NAME)
 INT_CODECS = (bitpack.NAME, fordelta.NAME, raw.NAME)
 
 
