@@ -192,3 +192,11 @@ def test_strnum_beats_dict_on_sorted_ids():
     payload, aux, meta = codecs.encode("strnum", vals)
     dp, da, _ = codecs.encode("dict", vals)
     assert len(payload) + len(aux) < (len(dp) + len(da)) / 4
+
+
+@pytest.mark.parametrize("name", list(STR_CASES))
+def test_zstdhi_roundtrip(name):
+    vals = STR_CASES[name]
+    payload, aux, meta = codecs.encode("zstdhi", vals)
+    out = codecs.decode("zstdhi", payload, aux, meta, len(vals))
+    assert list(out) == list(vals)

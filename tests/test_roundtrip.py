@@ -73,10 +73,10 @@ def test_compression_beats_raw_budget(spark, tmp_path):
     sel = blocks.groupby("column")["codec"].agg(lambda s: s.value_counts().idxmax())
     assert sel["role"] == "dict"
     assert sel["tool"] == "dict"
-    assert sel["conv_id"] in ("rle", "raw")
+    assert sel["conv_id"] in ("strnum", "rle", "raw")
     assert sel["turn_idx"] in ("fordelta", "bitpack")
     assert sel["ts"] == "fordelta"
-    assert sel["text"] in ("fsst", "raw")
+    assert sel["text"] in ("fsst", "zstdhi", "raw")
 
 
 def test_warehouse_beats_zstd_parquet_baseline(spark, tmp_path):

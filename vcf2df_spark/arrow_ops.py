@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import planner
-from .codecs import bitpack, fsst, strnum, strutil
+from .codecs import bitpack, fsst, strnum, strutil, zstdhi
 from .planner import _disk_proxy
 
 # ---------------------------------------------------------------- strings
@@ -138,6 +138,11 @@ def encode_string_column(
         if size < best_size:
             best, best_size = ("rle", payload, aux_table, meta), size
     else:
+        # high-level zstd candidate: wins when extra encode CPU buys bytes
+        payload, zaux, zmeta = zstdhi.encode_from_buf(buf, lengths)
+        size = _disk_proxy(payload, zaux)
+        if size < best_size:
+            best, best_size = ("zstdhi", payload, zaux, zmeta), size
         fsst_wins = (
             fsst_hint if fsst_hint is not None
             else planner.fsst_sample_wins_buf(buf, lengths)
@@ -193,6 +198,9 @@ def decode_string_column(codec: str, payload: bytes, aux: bytes, meta: dict,
         return strings_from_buf(b"".join(parts), lengths)
     if codec == "strnum":
         buf2, lengths = strnum.decode_to_buf(payload, aux, meta, n)
+        return strings_from_buf(buf2, lengths)
+    if codec == "zstdhi":
+        buf2, lengths = zstdhi.decode_to_buf(payload, aux, meta, n)
         return strings_from_buf(buf2, lengths)
     raise ValueError(f"unknown string codec {codec}")
 

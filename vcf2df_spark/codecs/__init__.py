@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import bitpack, dictionary, fordelta, fsst, raw, rle, strnum
+from . import bitpack, dictionary, fordelta, fsst, raw, rle, strnum, zstdhi
 
 _CODECS = {
     bitpack.NAME: (bitpack.encode, bitpack.decode),
@@ -23,10 +23,11 @@ _CODECS = {
     rle.NAME: (rle.encode, rle.decode),
     fsst.NAME: (fsst.encode, fsst.decode),
     strnum.NAME: (strnum.encode, strnum.decode),
+    zstdhi.NAME: (zstdhi.encode, zstdhi.decode),
     raw.NAME: (raw.encode, raw.decode),
 }
 
-STRING_CODECS = (dictionary.NAME, rle.NAME, fsst.NAME, strnum.NAME, raw.NAME)
+STRING_CODECS = (dictionary.NAME, rle.NAME, fsst.NAME, strnum.NAME, zstdhi.NAME, raw.NAME)
 INT_CODECS = (bitpack.NAME, fordelta.NAME, raw.NAME)
 
 
