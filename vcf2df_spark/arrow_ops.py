@@ -138,11 +138,16 @@ def encode_string_column(
         if size < best_size:
             best, best_size = ("rle", payload, aux_table, meta), size
     else:
-        # high-level zstd candidate: wins when extra encode CPU buys bytes
-        payload, zaux, zmeta = zstdhi.encode_from_buf(buf, lengths)
-        size = _disk_proxy(payload, zaux)
-        if size < best_size:
-            best, best_size = ("zstdhi", payload, zaux, zmeta), size
+        # high-level zstd candidate: wins when extra encode CPU buys bytes.
+        # Gated to large buffers: below ~1MB the sink's page-level zstd
+        # compresses ACROSS adjacent raw payload blobs (shared vocabulary),
+        # which a pre-compressed blob forfeits — measured as a net disk
+        # loss for small chunks despite the per-blob proxy predicting a win.
+        if len(buf) >= (1 << 20):
+            payload, zaux, zmeta = zstdhi.encode_from_buf(buf, lengths)
+            size = _disk_proxy(payload, zaux)
+            if size < best_size:
+                best, best_size = ("zstdhi", payload, zaux, zmeta), size
         fsst_wins = (
             fsst_hint if fsst_hint is not None
             else planner.fsst_sample_wins_buf(buf, lengths)
