@@ -21,6 +21,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql.window import Window
 
     from vcf2df_spark.encode import encode_transcripts
+    from vcf2df_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # workers must import vcf2df_spark for the UDFs
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     transcripts = ev.select(

@@ -153,7 +153,9 @@ def q_token_stats(spark, sf_dir):
 
 def q_bpe_tokens(spark, sf_dir):
     from vcf2df_spark.functions import bpe_token_count, utf8_ratio
+    from vcf2df_spark.shipping import ensure_shipped
 
+    ensure_shipped(spark)  # module-level pandas_udfs resolve on workers
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
