@@ -399,6 +399,61 @@ def q_funnel(spark, sf_dir):
     )
 
 
+# --- moving average (bounded window frame) ------------------------------------------
+
+def q_moving_avg(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    out = ev.select(
+        "event_id", "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg3"),
+    )
+    return out.filter(F.col("user_id") < 50)
+
+
+# --- first/last value window frames ---------------------------------------------------
+
+def q_first_last_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
+# --- pivot via conditional aggregation --------------------------------------------------
+
+def q_pivot_conditional(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*agg).filter(F.col("user_id") < 100)
+
+
+# --- sorted array aggregation -------------------------------------------------------------
+
+def q_collect_sorted(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
 # --- ranking windows (row_number/rank/dense_rank) ---------------------------------
 
 def q_rank_windows(spark, sf_dir):
@@ -509,6 +564,10 @@ QUERIES = {
     "levenshtein_pairs": q_levenshtein_pairs,
     "date_funcs": q_date_funcs,
     "funnel": q_funnel,
+    "moving_avg": q_moving_avg,
+    "first_last_window": q_first_last_window,
+    "pivot_conditional": q_pivot_conditional,
+    "collect_sorted": q_collect_sorted,
     "derived_key": q_derived_key,
     "filter_pushdown": q_filter_pushdown,
     "explode_wordcount": q_explode_wordcount,
@@ -579,6 +638,35 @@ ORACLES = {
         SELECT user_id, session_idx, count(*) AS n_events,
                max(ts_us) - min(ts_us) AS duration_us
         FROM marked GROUP BY user_id, session_idx
+    """,
+    "moving_avg": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+        FROM events WHERE user_id < 50
+    """,
+    "first_last_window": """
+        SELECT DISTINCT user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER w AS last_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "pivot_conditional": """
+        SELECT user_id,
+               sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+               sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+               sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+        FROM events WHERE user_id < 100 GROUP BY user_id
+    """,
+    "collect_sorted": """
+        SELECT n_regionkey,
+               array_to_string(list_sort(list(n_name)), '|') AS nations,
+               count(*) AS n_nations
+        FROM nation GROUP BY n_regionkey
     """,
     "date_funcs": """
         SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
