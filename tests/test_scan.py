@@ -92,3 +92,22 @@ def test_sql_view_over_encoded_warehouse(spark, tmp_path):
     ).toPandas().set_index("role")["n"]
     want = src.groupby("role").size()
     assert out.sort_index().equals(want.sort_index())
+
+
+def test_fetch_conversation_point_lookup(spark, tmp_path):
+    src, wh = _warehouse(spark, tmp_path)
+    target = "conv-00000042"
+    got = scan.fetch_conversation(spark, wh, target)
+    want = (
+        src[src.conv_id == target]
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["text"].to_numpy() == want["text"].to_numpy()).all()
+    assert (got["turn_idx"].to_numpy() == want["turn_idx"].to_numpy()).all()
+    gts = got["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    wts = want["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    assert (gts == wts).all()
+    # missing conversation -> empty frame, not an error
+    assert len(scan.fetch_conversation(spark, wh, "conv-99999999")) == 0

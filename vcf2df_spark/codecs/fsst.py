@@ -214,6 +214,29 @@ def encode(values: np.ndarray) -> tuple[bytes, bytes, dict]:
     }
 
 
+def decode_byte_range(payload: bytes, symbols: list[bytes],
+                      seg_code_lens: list[int], lo: int, hi: int) -> tuple[bytes, int]:
+    """Decode only the segments covering raw-byte range [lo, hi).
+
+    Segments are fixed SEGMENT_BYTES raw-byte windows, so the covering
+    segment span is computable without decoding anything — this is the
+    random-access property FSST exists for. Returns (decoded bytes of the
+    covering segments, raw-byte offset of their start).
+    """
+    if hi <= lo:
+        return b"", lo
+    s0 = lo // SEGMENT_BYTES
+    s1 = (hi - 1) // SEGMENT_BYTES + 1
+    code_offs = [0]
+    for cl in seg_code_lens:
+        code_offs.append(code_offs[-1] + cl)
+    parts = [
+        decode_buffer(payload[code_offs[s] : code_offs[s + 1]], symbols)
+        for s in range(s0, min(s1, len(seg_code_lens)))
+    ]
+    return b"".join(parts), s0 * SEGMENT_BYTES
+
+
 def decode(payload: bytes, aux: bytes, meta: dict, n: int) -> np.ndarray:
     tb = meta["table_bytes"]
     symbols = strutil.unpack_str_list(aux[:tb])

@@ -77,6 +77,73 @@ def qualifying_chunks(
     return qual
 
 
+def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
+    """Point lookup: one conversation, decoding the minimum possible.
+
+    Zone maps select the candidate chunks; the cheap key columns decode
+    fully to locate the row span; ``text`` decodes via random access
+    (only the FSST/raw byte range covering those rows). Returns a pandas
+    DataFrame ordered by turn_idx — the interactive read path.
+    """
+    import json
+
+    import pandas as pd
+
+    from . import arrow_ops, codecs
+
+    blocks = spark.read.parquet(f"{warehouse}/blocks")
+    qual = qualifying_chunks(blocks, conv_id_range=(conv_id, conv_id))
+    cand = blocks.join(F.broadcast(qual), _CHUNK_KEY, "left_semi").collect()
+    by_chunk: dict[tuple, dict[str, dict]] = {}
+    for r in cand:
+        by_chunk.setdefault((r.partition_id, r.chunk_idx), {})[r.column] = r
+    frames = []
+    for key, cols in by_chunk.items():
+        n = int(cols["conv_id"].n_rows)
+
+        def _decode_str(col, lo=0, hi=None):
+            r = cols[col]
+            m = json.loads(r.meta)
+            if hi is None:
+                return arrow_ops.decode_string_column(
+                    r.codec, bytes(r.payload or b""), bytes(r.aux or b""), m, n
+                )
+            return arrow_ops.decode_string_rows(
+                r.codec, bytes(r.payload or b""), bytes(r.aux or b""), m, n, lo, hi
+            )
+
+        cids = _decode_str("conv_id").to_pylist()
+        import bisect
+
+        lo = bisect.bisect_left(cids, conv_id)   # chunk is sorted by conv_id
+        hi = bisect.bisect_right(cids, conv_id)
+        if hi <= lo:
+            continue
+        out = {"conv_id": cids[lo:hi]}
+        for col in ("role", "text", "tool"):
+            out[col] = _decode_str(col, lo, hi).to_pylist()
+        for col in ("turn_idx", "ts"):
+            r = cols[col]
+            vals = codecs.decode(
+                r.codec, bytes(r.payload or b""), bytes(r.aux or b""),
+                json.loads(r.meta), n,
+            )[lo:hi]
+            out[col] = (
+                pd.to_datetime(vals.astype("int64"), unit="us")
+                if col == "ts" else vals.astype("int32")
+            )
+        frames.append(pd.DataFrame(out))
+    if not frames:
+        return pd.DataFrame(
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    return (
+        pd.concat(frames, ignore_index=True)
+        .sort_values("turn_idx")
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    )
+
+
 def register_transcript_view(spark: SparkSession, warehouse: str,
                              name: str = "transcripts") -> None:
     """Expose the encoded warehouse as a SQL view: ``SELECT ... FROM name``.
