@@ -41,12 +41,7 @@ def _window_keys(a: np.ndarray, L: int) -> np.ndarray:
     return key
 
 
-def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
-    """Pick up to ``max_symbols`` symbols by estimated byte-savings gain."""
-    sample = sample[:TRAIN_SAMPLE_BYTES]
-    a = np.frombuffer(sample, dtype=np.uint8)
-    if len(a) == 0:
-        return []
+def _candidate_gains(a: np.ndarray, max_symbols: int) -> dict[bytes, int]:
     gains: dict[bytes, int] = {}
     # single bytes: replacing an escape (2 bytes out) with a code (1 byte out)
     u1, c1 = np.unique(a, return_counts=True)
@@ -62,9 +57,58 @@ def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
         for k, g in zip(uniq[top], gain[top]):
             if g > L:  # must at least beat its own table-entry cost
                 gains[int(k).to_bytes(8, "little")[:L]] = int(g)
-    symbols = sorted(gains, key=lambda s: (gains[s], s), reverse=True)[:max_symbols]
-    # deterministic code assignment: sort selected symbols lexically
-    return sorted(symbols)
+    return gains
+
+
+def train(sample: bytes, max_symbols: int = MAX_SYMBOLS,
+          iterations: int = 2) -> list[bytes]:
+    """Pick up to ``max_symbols`` symbols by byte-savings gain.
+
+    The first pass counts overlapping window frequencies (overestimates:
+    overlapping matches can't all be taken). Refinement passes — the move
+    FSST's published training makes — parse the sample greedily with the
+    current table, recount gains from the *non-overlapping matches the
+    parse actually takes* (plus escape-adjacent pairs as new candidates),
+    and reselect.
+    """
+    sample = sample[:TRAIN_SAMPLE_BYTES]
+    a = np.frombuffer(sample, dtype=np.uint8)
+    if len(a) == 0:
+        return []
+    gains = _candidate_gains(a, max_symbols)
+    symbols = sorted(
+        sorted(gains, key=lambda s: (gains[s], s), reverse=True)[:max_symbols]
+    )
+    for _ in range(max(0, iterations - 1)):
+        positions, codes, lens = _parse(a, symbols)
+        real: dict[bytes, int] = {}
+        # realized gains: bytes saved by each symbol as actually used
+        use_codes, use_counts = np.unique(codes[codes != 255], return_counts=True)
+        for c, cnt in zip(use_codes, use_counts):
+            s = symbols[int(c)]
+            real[s] = int(cnt) * max(len(s) - 1, 1)
+        # escape positions: their adjacent pairs are fresh candidates
+        esc_pos = positions[codes == 255]
+        if len(esc_pos):
+            pair_pos = esc_pos[esc_pos < len(a) - 1]
+            if len(pair_pos):
+                pairs = (
+                    a[pair_pos].astype(np.uint64)
+                    | (a[pair_pos + 1].astype(np.uint64) << np.uint64(8))
+                )
+                up, cp = np.unique(pairs, return_counts=True)
+                for k, cnt in zip(up, cp):
+                    s = int(k).to_bytes(2, "little")
+                    real[s] = real.get(s, 0) + int(cnt)
+            # single escaped bytes still matter (escape costs 2 bytes)
+            ue, ce = np.unique(a[esc_pos], return_counts=True)
+            for b, cnt in zip(ue, ce):
+                s = bytes([int(b)])
+                real[s] = real.get(s, 0) + int(cnt)
+        symbols = sorted(
+            sorted(real, key=lambda s: (real[s], s), reverse=True)[:max_symbols]
+        )
+    return symbols
 
 
 def _parse(a: np.ndarray, symbols: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
