@@ -119,3 +119,19 @@ def test_skew_partition_balance(spark):
         with_partition_key(df, 16).groupBy("_pkey").count().toPandas()["count"]
     )
     assert sizes.max() / sizes.mean() <= 2.0
+
+
+def test_mega_conversation_splits_across_partitions(spark):
+    """The salt key xxhash64(conv_id, turn_idx // 256) must spread a
+    30%-of-corpus conversation over many partitions, not one."""
+    from pyspark.sql import functions as F
+
+    from vcf2df_spark.encode import with_partition_key
+
+    src = fixtures.transcripts_skew()
+    mega = src.conv_id.value_counts().idxmax()
+    df = spark.createDataFrame(src[src.conv_id == mega])
+    n_parts = (
+        with_partition_key(df, 16).select("_pkey").distinct().count()
+    )
+    assert n_parts >= 8, f"mega conversation landed in only {n_parts} partitions"
