@@ -214,6 +214,42 @@ def q_set_union(spark, sf_dir):
     return c.unionByName(s).distinct()
 
 
+def q_set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().subtract(s.distinct())  # set EXCEPT (not exceptAll)
+
+
+# --- regexp extraction (P2 text-field extraction analogue) ---------------------
+
+def q_regexp_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1)
+    return (
+        ev.select(F.when(k == "", None).otherwise(k).cast("int").alias("k_val"))
+        .groupBy((F.col("k_val") % 10).alias("k_mod10"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- positional explode ----------------------------------------------------------
+
+def q_posexplode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    return (
+        docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .filter(F.col("pos") < 5)
+        .select("doc_id", "pos", "word")
+    )
+
+
 # --- stats profile (M1 analogue: the codec planner's sampler, §4.3) ----------
 
 def q_stats_profile(spark, sf_dir):
@@ -581,6 +617,10 @@ QUERIES = {
     "topk": q_topk,
     "set_union": q_set_union,
     "stats_profile": q_stats_profile,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "regexp_extract": q_regexp_extract,
+    "posexplode": q_posexplode,
 }
 
 ORACLES = {
@@ -831,6 +871,35 @@ ORACLES = {
             UNION ALL
             SELECT s_nationkey AS nationkey FROM supplier
         )
+    """,
+    "set_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    "set_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    """,
+    "regexp_extract": """
+        SELECT CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS INTEGER)
+               % 10 AS k_mod10,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "posexplode": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents WHERE doc_id < 50
+        ), idx AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws))) AS i
+            FROM w
+        )
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS word
+        FROM idx WHERE i <= 5
     """,
     "stats_profile": """
         SELECT count(*) AS n_rows,
