@@ -306,6 +306,48 @@ def q_token_histogram(spark, sf_dir):
     )
 
 
+# --- KMV distinct sketch (deterministic, cross-system) --------------------------------
+# K-minimum-values: keep the K smallest word hashes; ndv_estimate =
+# (K-1) * H / kth_min where H is the hash range. Fully deterministic with
+# the shared md5 hash, so the oracle reproduces the sketch exactly — the
+# "novel sketch as composition of built-ins" path (no custom execution).
+
+_KMV_K = 64
+_H_RANGE = 2**56  # md5 14-hex-digit prefix range
+
+
+def q_kmv_distinct(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    hashes = (
+        docs.select(F.explode(_words()).alias("w"))
+        .select(_word_hash(F.col("w")).alias("h"))
+        .distinct()
+    )
+    kth = (
+        hashes.orderBy("h").limit(_KMV_K)
+        .agg(F.max("h").alias("kth"), F.count("*").alias("k"))
+    )
+    exact = hashes.agg(F.count("*").alias("exact_ndv"))
+    return kth.crossJoin(exact).select(
+        "k",
+        F.round((F.col("k") - 1) * F.lit(_H_RANGE) / F.col("kth"), 1).alias(
+            "ndv_estimate"
+        ),
+        "exact_ndv",
+    )
+
+
+# --- deterministic hash sampling (scalable stratified sampling) -------------------------
+
+def q_hash_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sampled = docs.filter((_word_hash(F.col("text")) % 100) < 10)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 # --- multimodal metadata plumbing (binary column, typed meta) ------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -443,6 +485,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "quality_filter": q_quality_filter,
     "token_histogram": q_token_histogram,
+    "kmv_distinct": q_kmv_distinct,
+    "hash_sample": q_hash_sample,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -641,6 +685,25 @@ ORACLES = {
               + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket,
                count(*) AS n_vectors
         FROM embeddings GROUP BY 1
+    """,
+    "kmv_distinct": f"""
+        WITH hashes AS (
+            SELECT DISTINCT {_SQL_HASH.format(w='w')} AS h
+            FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents)
+        ), kth AS (
+            SELECT max(h) AS kth, count(*) AS k
+            FROM (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K})
+        )
+        SELECT k,
+               round((k - 1) * {_H_RANGE}::DOUBLE / kth, 1) AS ndv_estimate,
+               (SELECT count(*) FROM hashes) AS exact_ndv
+        FROM kth
+    """,
+    "hash_sample": f"""
+        SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        FROM documents
+        WHERE {_SQL_HASH.format(w='text')} % 100 < 10
+        GROUP BY lang
     """,
     "embedding_near_dup": """
         SELECT vec_a, vec_b, cosine FROM (
