@@ -127,16 +127,17 @@ def scaling_run(master: str, input_path: str, partitions: int = 256) -> dict:
         n = src.count()
         keyed = with_partition_key(src, partitions)
         times = []
-        for i in range(4):  # first run is the warm-up
+        for i in range(6):  # first run is the warm-up; median of 5 timed
             t0 = time.time()
             encode_keyed(keyed).count()
             times.append(time.time() - t0)
         timed = sorted(times[1:])
+        median = timed[len(timed) // 2]
         return {
             "rows": n,
-            "encode_sec": round(timed[1], 2),
+            "encode_sec": round(median, 2),
             "all_runs_sec": [round(t, 2) for t in times],
-            "turns_per_sec": int(n / timed[1]),
+            "turns_per_sec": int(n / median),
         }
     finally:
         spark.stop()
