@@ -51,9 +51,11 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
     from vcf2df_spark.decode import decode_blocks
     from vcf2df_spark.encode import encode_keyed, normalize_input, with_partition_key
     from vcf2df_spark.session import get_spark
+    from vcf2df_spark.shipping import ensure_shipped
 
     spark = get_spark(master=master, app_name="bench",
                       shuffle_partitions=partitions)
+    ensure_shipped(spark)  # workers import vcf2df_spark regardless of cwd
     try:
         src = normalize_input(spark.read.parquet(input_path))
         n_rows = src.count()
