@@ -41,6 +41,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kinds(df: pd.DataFrame) -> dict:
+    # int-family vs float-family vs other: the driver hashes rendered values,
+    # so DuckDB HUGEINT->float64 (42.0) vs Spark bigint (42) is a REAL
+    # mismatch even when numerically equal. Strict here = green at the driver.
+    fam = {"i": "int", "u": "int", "f": "float", "c": "float"}
+    return {c: fam.get(df[c].dtype.kind, "other") for c in df.columns}
+
+
 QUERY_NAMES = sorted(entry_mod.queries())
 
 
@@ -54,6 +62,7 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
     g, w = _canon(got), _canon(want)
     assert list(g.columns) == list(w.columns), f"{name}: columns {list(g.columns)} vs {list(w.columns)}"
+    assert _kinds(g) == _kinds(w), f"{name}: dtype families {_kinds(g)} vs {_kinds(w)} (DuckDB HUGEINT? add CAST(... AS BIGINT))"
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False,
                                   rtol=0, atol=1e-9, obj=name)
 

@@ -372,9 +372,9 @@ def q_json_extract(spark, sf_dir):
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
         F.count(k).alias("n_with_k"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
     )
 
 
@@ -668,11 +668,11 @@ ORACLES = {
             FROM events
         ), marked AS (
             SELECT user_id, event_id, ts_us,
-                   sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000
+                   CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000
                             THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_idx
+                   AS BIGINT) AS session_idx
             FROM gaps
         )
         SELECT user_id, session_idx, count(*) AS n_events,
@@ -695,11 +695,16 @@ ORACLES = {
     """,
     "pivot_conditional": """
         SELECT user_id,
-               sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
-               sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
-               sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
-               sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+               CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error
         FROM events WHERE user_id < 100 GROUP BY user_id
     """,
     "collect_sorted": """
@@ -722,14 +727,15 @@ ORACLES = {
             FROM events GROUP BY user_id
         )
         SELECT count(*) AS n_users,
-               sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-               sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+               CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
                              AND t_click > t_signup THEN 1 ELSE 0 END)
-                   AS n_signup_then_click,
-               sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                    AS BIGINT) AS n_signup_then_click,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
                              AND t_buy IS NOT NULL AND t_click > t_signup
                              AND t_buy > t_click THEN 1 ELSE 0 END)
-                   AS n_full_funnel
+                    AS BIGINT) AS n_full_funnel
         FROM stages
     """,
     "rank_windows": """
@@ -772,9 +778,12 @@ ORACLES = {
     "json_extract": """
         SELECT event_type,
                count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
-               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
-               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS max_k
         FROM events GROUP BY event_type
     """,
     "normalize_text": """
@@ -816,8 +825,8 @@ ORACLES = {
     """,
     "impute": """
         SELECT event_type, count(*) AS n,
-               sum(CASE WHEN coalesce(nullif(props, ''), '{}') = '{}'
-                        THEN 1 ELSE 0 END) AS n_defaulted,
+               CAST(sum(CASE WHEN coalesce(nullif(props, ''), '{}') = '{}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted,
                round(sum(coalesce(value, 0.0)), 2) AS sum_value
         FROM events GROUP BY event_type
     """,
@@ -834,7 +843,8 @@ ORACLES = {
         FROM lineitem
     """,
     "window_runs": """
-        SELECT user_id, count(*) AS n_events, sum(is_new_run) AS n_runs
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(is_new_run) AS BIGINT) AS n_runs
         FROM (
             SELECT user_id,
                    CASE WHEN lag(event_type) OVER w IS NULL
