@@ -12,7 +12,10 @@ from vcf2df_spark.operators import multimodal
 
 
 def test_incremental_encode_matches_batch(spark, tmp_path):
-    """Two file drops -> stream drains -> decoded union is bit-identical."""
+    """Two files, one epoch EACH (maxFilesPerTrigger=1) -> the decoded
+    two-epoch union is bit-identical. Regression: without per-epoch
+    partition_id remapping, epoch 2 reused epoch 1's (partition_id,
+    chunk_idx) keys and decode grouped blocks across epochs."""
     src = fixtures.transcripts_small(n_convs=300)
     half = len(src) // 2
     indir = tmp_path / "in"
@@ -22,9 +25,16 @@ def test_incremental_encode_matches_batch(spark, tmp_path):
 
     wh = str(tmp_path / "wh")
     q = streaming.incremental_encode(
-        spark, str(indir), wh, checkpoint=str(tmp_path / "ckpt")
+        spark, str(indir), wh, checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
     )
     q.awaitTermination(120)
+
+    # two distinct epochs actually ran and their block keys are disjoint
+    blocks_pdf = spark.read.parquet(f"{wh}/blocks").toPandas()
+    assert blocks_pdf["epoch"].nunique() == 2
+    per_epoch_pids = blocks_pdf.groupby("epoch")["partition_id"].unique()
+    assert not (set(per_epoch_pids.iloc[0]) & set(per_epoch_pids.iloc[1]))
 
     manifests = spark.read.parquet(f"{wh}/manifests").toPandas()
     assert manifests["n_rows"].sum() == len(src)

@@ -45,15 +45,26 @@ def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFram
         ),
         256,
     )
+    # n_rows from one designated column's blocks (conv_id is always present):
+    # dividing sum(n_rows) by a hardcoded column count silently mis-reports on
+    # column-pruned or partially-written blocks, and breaks with extra columns.
+    # codecs as a sorted distinct list of "column:codec" strings: per-chunk
+    # measured selection legitimately picks different codecs for the same
+    # column across chunks (dict vs rle flips, zstdhi's size gate), so a
+    # column->codec MAP would throw DUPLICATED_MAP_KEY.
     agg = (
         blocks.withColumn("_bh", per_block_hash)
         .groupBy("partition_id")
         .agg(
             (F.max("chunk_idx") + 1).cast("int").alias("n_chunks"),
-            (F.sum("n_rows") / F.lit(6)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("column") == "conv_id", F.col("n_rows"))
+            ).cast("long").alias("n_rows"),
             F.to_json(
-                F.map_from_entries(
-                    F.array_distinct(F.collect_list(F.struct("column", "codec")))
+                F.sort_array(
+                    F.array_distinct(
+                        F.collect_list(F.concat_ws(":", "column", "codec"))
+                    )
                 )
             ).alias("codecs"),
             F.sum("raw_bytes").alias("raw_bytes"),

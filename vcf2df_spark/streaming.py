@@ -29,31 +29,52 @@ def incremental_encode(
     checkpoint: str,
     num_partitions: int = 8,
     job_id: str = "stream",
+    max_files_per_trigger: int = 4,
 ):
     """Encode new parquet files as they arrive; returns the StreamingQuery.
 
     Uses Trigger.AvailableNow semantics when started with
     ``.trigger(availableNow=True)`` by the caller-facing helper below, so
     tests drain the backlog and stop deterministically.
+
+    Block keys are disambiguated across micro-batches by remapping
+    ``partition_id`` into a per-epoch range (``+ epoch_id * num_partitions``)
+    — without this, two epochs reuse the same (partition_id, chunk_idx) keys
+    and decode_blocks groups blocks from different epochs into one chunk.
+    Each epoch writes to its own ``epoch=N`` directory with overwrite, so a
+    foreachBatch retry of the same epoch replaces its output instead of
+    appending duplicates (exactly-once at the epoch level).
     """
     from . import manifest
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        blocks = encode_transcripts(batch_df, num_partitions=num_partitions).cache()
+        blocks = (
+            encode_transcripts(batch_df, num_partitions=num_partitions)
+            .withColumn(
+                "partition_id",
+                (F.col("partition_id") + F.lit(int(epoch_id) * num_partitions))
+                .cast("int"),
+            )
+            .cache()
+        )
         try:
             blocks.count()
-            blocks.write.mode("append").parquet(f"{warehouse}/blocks")
+            blocks.write.mode("overwrite").parquet(
+                f"{warehouse}/blocks/epoch={int(epoch_id)}"
+            )
             manifest.build_manifests(
                 blocks, f"{job_id}-epoch{epoch_id}", input_dir
-            ).write.mode("append").parquet(f"{warehouse}/manifests")
+            ).write.mode("overwrite").parquet(
+                f"{warehouse}/manifests/epoch={int(epoch_id)}"
+            )
         finally:
             blocks.unpersist()
 
