@@ -48,10 +48,16 @@ def main(argv: list[str] | None = None) -> None:
     # manifest integrity: recompute each partition's content checksum from
     # the stored blocks and compare to the committed manifest row
     checksum_mismatches = -1
+    column_desc = None
     try:
-        committed = spark.read.parquet(f"{args.warehouse}/manifests").select(
+        manifests = spark.read.parquet(f"{args.warehouse}/manifests")
+        committed = manifests.select(
             "partition_id", F.col("checksum").alias("committed_checksum")
         )
+        if "column_desc" in manifests.columns:  # self-describing output
+            row = manifests.select("column_desc").first()
+            if row is not None:
+                column_desc = json.loads(row["column_desc"])
         recomputed = manifest_mod.build_manifests(blocks, "verify", args.source).select(
             "partition_id", "checksum"
         )
@@ -64,12 +70,21 @@ def main(argv: list[str] | None = None) -> None:
         pass  # no manifests table (e.g. bench warehouse) -> skip
 
     if args.deep:
-        # exact: exceptAll in both directions is empty
+        # exact: exceptAll in both directions is empty (all shared columns,
+        # dynamic extras included; timestamps compared as unix_micros)
+        common = sorted(set(decoded.columns) & set(source.columns))
+
         def canon(df):
-            return df.select(
-                "conv_id", "turn_idx", "role", "text", "tool",
-                F.unix_micros("ts").alias("ts_us"),
-            )
+            from pyspark.sql import types as T
+
+            exprs = []
+            for name in common:
+                if isinstance(df.schema[name].dataType,
+                              (T.TimestampType, T.TimestampNTZType)):
+                    exprs.append(F.unix_micros(name).alias(f"{name}_us"))
+                else:
+                    exprs.append(F.col(name))
+            return df.select(*exprs)
 
         d, s = canon(decoded), canon(source)
         missing = s.exceptAll(d).count()
@@ -93,6 +108,7 @@ def main(argv: list[str] | None = None) -> None:
         "rows_missing": missing,
         "rows_extra": extra,
         "manifest_checksum_mismatches": checksum_mismatches,
+        "column_desc": column_desc,
         "wall_sec": round(time.time() - t0, 2),
     }))
     if owns_session:

@@ -200,3 +200,73 @@ def test_zstdhi_roundtrip(name):
     payload, aux, meta = codecs.encode("zstdhi", vals)
     out = codecs.decode("zstdhi", payload, aux, meta, len(vals))
     assert list(out) == list(vals)
+
+
+# --- float64 codecs (fshuffle, fdict) -----------------------------------------
+
+
+def _roundtrip_f64(codec, vals):
+    vals = np.asarray(vals, dtype=np.float64)
+    payload, aux, meta = codecs.encode(codec, vals)
+    out = codecs.decode(codec, payload, aux, meta, len(vals))
+    # bit-level comparison: NaN payloads and -0.0 must survive exactly
+    assert np.array_equal(vals.view(np.int64), out.view(np.int64)), codec
+
+
+@pytest.mark.parametrize("codec", ["fshuffle", "fdict", "raw"])
+def test_float_codecs_roundtrip(codec):
+    rng = np.random.default_rng(7)
+    _roundtrip_f64(codec, rng.random(1000) * 1e6)
+    _roundtrip_f64(codec, np.zeros(0))
+    _roundtrip_f64(codec, [1.5])
+    special = np.array(
+        [0.0, -0.0, np.inf, -np.inf, np.nan, -np.nan, 1e-308, 1.7976931348623157e308]
+    )
+    _roundtrip_f64(codec, special)
+    # distinct NaN bit patterns survive (fdict works on bit patterns)
+    weird_nan = np.frombuffer(np.int64(0x7FF8000000000123).tobytes(), dtype=np.float64)
+    _roundtrip_f64(codec, np.concatenate([special, weird_nan]))
+
+
+def test_fdict_beats_raw_on_low_cardinality():
+    vals = np.tile(np.array([1.25, 2.5, 3.75]), 1000)
+    payload, aux, _ = codecs.encode("fdict", vals)
+    assert len(payload) + len(aux) < vals.nbytes / 4
+
+
+def test_float_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64)))
+    def check(xs):
+        for codec in ("fshuffle", "fdict"):
+            _roundtrip_f64(codec, xs)
+
+    check()
+
+
+# --- boolean codec (boolpack) --------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["boolpack", "raw"])
+def test_bool_codec_roundtrip(codec):
+    rng = np.random.default_rng(11)
+    for vals in (
+        rng.random(1000) < 0.3,
+        np.zeros(0, dtype=bool),
+        np.array([True]),
+        np.array([False] * 17),
+        np.array([True] * 9),
+    ):
+        payload, aux, meta = codecs.encode(codec, vals)
+        out = codecs.decode(codec, payload, aux, meta, len(vals))
+        assert out.dtype == np.bool_
+        assert np.array_equal(vals, out)
+
+
+def test_boolpack_is_one_bit_per_value():
+    vals = np.ones(8000, dtype=bool)
+    payload, aux, _ = codecs.encode("boolpack", vals)
+    assert len(payload) == 1000 and not aux

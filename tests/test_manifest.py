@@ -38,6 +38,10 @@ def test_build_manifests_multi_codec_per_column(spark):
         "conv_id:dict", "conv_id:rle", "text:fsst", "text:raw",
     ]
     assert json.loads(m.loc[1, "codecs"]) == ["conv_id:rle", "text:zstdhi"]
+    # self-describing output: per-column data dictionary rides the manifest
+    desc = json.loads(m.loc[0, "column_desc"])
+    assert desc["conv_id"] == manifest.CORE_DESCRIPTIONS["conv_id"]
+    assert desc["text"] == manifest.CORE_DESCRIPTIONS["text"]
     # n_rows counts the designated column's rows, not sum-over-all/6
     assert m.loc[0, "n_rows"] == 20  # two conv_id chunks of 10
     assert m.loc[1, "n_rows"] == 10

@@ -53,6 +53,7 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("n_chunks", T.IntegerType(), False),
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("codecs", T.StringType(), False),  # JSON sorted ["col:codec", ...]
+        T.StructField("column_desc", T.StringType(), False),  # JSON col->description
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("enc_bytes", T.LongType(), False),
         T.StructField("checksum", T.StringType(), False),

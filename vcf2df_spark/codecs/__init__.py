@@ -14,7 +14,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import bitpack, dictionary, fordelta, fsst, raw, rle, strnum, zstdhi
+from . import (
+    bitpack, boolpack, dictionary, floats, fordelta, fsst, raw, rle, strnum,
+    zstdhi,
+)
 
 _CODECS = {
     bitpack.NAME: (bitpack.encode, bitpack.decode),
@@ -24,11 +27,16 @@ _CODECS = {
     fsst.NAME: (fsst.encode, fsst.decode),
     strnum.NAME: (strnum.encode, strnum.decode),
     zstdhi.NAME: (zstdhi.encode, zstdhi.decode),
+    floats.NAME: (floats.encode, floats.decode),
+    floats.DICT_NAME: (floats.encode_dict, floats.decode_dict),
+    boolpack.NAME: (boolpack.encode, boolpack.decode),
     raw.NAME: (raw.encode, raw.decode),
 }
 
 STRING_CODECS = (dictionary.NAME, rle.NAME, fsst.NAME, strnum.NAME, zstdhi.NAME, raw.NAME)
 INT_CODECS = (bitpack.NAME, fordelta.NAME, raw.NAME)
+FLOAT_CODECS = (floats.NAME, floats.DICT_NAME, raw.NAME)
+BOOL_CODECS = (boolpack.NAME, raw.NAME)
 
 
 def encode(codec: str, values: np.ndarray) -> tuple[bytes, bytes, dict]:

@@ -2,10 +2,17 @@
 
 The independent-reader half of the round-trip contract (reference analogue:
 ``readParquet`` re-opening the output with a second reader,
-``converter/convert_test.go:63-97``). Groups the six column blocks of each
+``converter/convert_test.go:63-97``). Groups the column blocks of each
 (partition, chunk) and reverses the codec kernels; bit-identical by the
 codec contract, verified in tests by per-turn ``text`` equality and full
 column comparison under stable (conv_id, turn_idx) ordering.
+
+Dynamic schema: each block's meta carries ``ctype`` (str/i32/i64/ts/f64/
+bool), so decode rebuilds exactly the columns the table was encoded with —
+core six plus any extras — without a hardcoded column list. The output
+schema is derived from the blocks' own metadata (the Spark analogue of
+reading a Parquet footer) via one tiny driver-side aggregate over the
+pruned (column, meta) projection.
 
 Arrow-native like the encode path: string columns are rebuilt directly
 from (utf8 buffer, offsets) with no per-row Python.
@@ -20,20 +27,54 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from . import arrow_ops, codecs
-from .blocks import TRANSCRIPT_SCHEMA, TRANSCRIPT_COLUMNS
+from .blocks import TRANSCRIPT_COLUMNS
 
-_STRING_COLS = ("conv_id", "role", "text", "tool")
+# legacy blocks (written before ctype landed) carry only the core columns
+_CORE_CTYPES = {
+    "conv_id": "str", "role": "str", "text": "str", "tool": "str",
+    "turn_idx": "i32", "ts": "ts",
+}
 
-_TRANSCRIPT_ARROW_SCHEMA = pa.schema(
-    [
-        pa.field("conv_id", pa.string()),
-        pa.field("turn_idx", pa.int32()),
-        pa.field("role", pa.string()),
-        pa.field("text", pa.string()),
-        pa.field("tool", pa.string()),
-        pa.field("ts", pa.timestamp("us", tz="UTC")),
-    ]
-)
+_CTYPE_TO_ARROW = {
+    "str": pa.string(),
+    "i32": pa.int32(),
+    "i64": pa.int64(),
+    "ts": pa.timestamp("us", tz="UTC"),
+    "f64": pa.float64(),
+    "bool": pa.bool_(),
+}
+
+
+def _column_order(cols) -> list[str]:
+    """Core columns in canonical order, then extras lexically (M2)."""
+    core = [c for c in TRANSCRIPT_COLUMNS if c in cols]
+    return core + sorted(c for c in cols if c not in set(TRANSCRIPT_COLUMNS))
+
+
+def _decode_one(r: dict, n: int) -> pa.Array:
+    payload = bytes(r["payload"] or b"")
+    aux = bytes(r["aux"] or b"")
+    meta = json.loads(r["meta"])
+    ctype = meta.get("ctype") or _CORE_CTYPES.get(r["column"], "str")
+    if ctype == "str":
+        arr = arrow_ops.decode_string_column(r["codec"], payload, aux, meta, n)
+        if pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        return arr
+    values = codecs.decode(r["codec"], payload, aux, meta, n)
+    if ctype == "ts":
+        return pa.array(np.asarray(values, dtype=np.int64)).cast(
+            pa.timestamp("us", tz="UTC")
+        )
+    if ctype == "i32":
+        return pa.array(np.asarray(values, dtype=np.int32), type=pa.int32())
+    if ctype == "i64":
+        return pa.array(np.asarray(values, dtype=np.int64), type=pa.int64())
+    if ctype == "f64":
+        return pa.array(np.asarray(values, dtype=np.float64), type=pa.float64())
+    if ctype == "bool":
+        return pa.array(np.asarray(values, dtype=np.bool_), type=pa.bool_())
+    raise ValueError(f"unknown ctype {ctype}")
 
 
 def decode_chunk_arrow(block_rows: list[dict]) -> pa.Table:
@@ -44,34 +85,53 @@ def decode_chunk_arrow(block_rows: list[dict]) -> pa.Table:
     """
     by_col = {r["column"]: r for r in block_rows}
     n = int(block_rows[0]["n_rows"])
-    cols = {}
-    for col in TRANSCRIPT_COLUMNS:
-        if col not in by_col:
-            continue
-        r = by_col[col]
-        payload = bytes(r["payload"] or b"")
-        aux = bytes(r["aux"] or b"")
-        meta = json.loads(r["meta"])
-        if col in _STRING_COLS:
-            arr = arrow_ops.decode_string_column(r["codec"], payload, aux, meta, n)
-            if pa.types.is_large_string(arr.type):
-                arr = arr.cast(pa.string())
-            cols[col] = arr
-        else:
-            values = codecs.decode(r["codec"], payload, aux, meta, n)
-            if col == "turn_idx":
-                cols[col] = pa.array(np.asarray(values, dtype=np.int32), type=pa.int32())
-            else:  # ts
-                cols[col] = pa.array(
-                    np.asarray(values, dtype=np.int64)
-                ).cast(pa.timestamp("us", tz="UTC"))
-    present = [c for c in TRANSCRIPT_COLUMNS if c in cols]
-    schema = pa.schema([_TRANSCRIPT_ARROW_SCHEMA.field(c) for c in present])
-    return pa.Table.from_arrays([cols[c] for c in present], schema=schema)
+    order = _column_order(by_col)
+    arrays = [_decode_one(by_col[c], n) for c in order]
+    schema = pa.schema([pa.field(c, a.type) for c, a in zip(order, arrays)])
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
 def _decode_group(table: pa.Table) -> pa.Table:
     return decode_chunk_arrow(table.to_pylist())
+
+
+def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
+    """Output Spark schema from the blocks' own metadata (footer analogue).
+
+    One driver-side aggregate over the (column, meta) projection — parquet
+    column pruning keeps this scan narrow; result is O(columns).
+
+    ``requested`` columns missing from the blocks (e.g. a zone-map-pruned
+    scan that matched zero chunks) still get a typed field — core columns
+    from their known types, unknown extras as string — so downstream
+    filters resolve against an empty result instead of failing analysis.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    to_spark = {
+        "str": T.StringType(), "i32": T.IntegerType(), "i64": T.LongType(),
+        "ts": T.TimestampType(), "f64": T.DoubleType(), "bool": T.BooleanType(),
+    }
+    rows = (
+        blocks.select(
+            "column", F.get_json_object("meta", "$.ctype").alias("ctype")
+        )
+        .groupBy("column")
+        .agg(F.first("ctype", ignorenulls=True).alias("ctype"))
+        .collect()
+    )
+    ctypes = {
+        r["column"]: (r["ctype"] or _CORE_CTYPES.get(r["column"], "str"))
+        for r in rows
+    }
+    if not ctypes:  # zero matching blocks: typed empty result
+        for c in requested or TRANSCRIPT_COLUMNS:
+            ctypes[c] = _CORE_CTYPES.get(c, "str")
+    return T.StructType(
+        [T.StructField(c, to_spark[ctypes[c]], False)
+         for c in _column_order(ctypes)]
+    )
 
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -83,16 +143,10 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None) -> DataFr
     encoded blocks).
     """
     import pyspark.sql.functions as F
-    from pyspark.sql import types as T
 
-    if columns is None:
-        out_schema = TRANSCRIPT_SCHEMA
-    else:
-        order = [c for c in TRANSCRIPT_COLUMNS if c in set(columns)]
-        blocks = blocks.filter(F.col("column").isin(order))
-        out_schema = T.StructType(
-            [TRANSCRIPT_SCHEMA[c] for c in order]
-        )
+    if columns is not None:
+        blocks = blocks.filter(F.col("column").isin(list(columns)))
+    out_schema = schema_from_blocks(blocks, requested=columns)
     return blocks.groupBy("partition_id", "chunk_idx").applyInArrow(
         _decode_group, out_schema
     )

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import arrow_ops
+from . import arrow_ops, planner
 from .blocks import BLOCKS_SCHEMA, TRANSCRIPT_COLUMNS
 
 TURNS_PER_SPLIT = 256  # conversations longer than this are split across partitions
@@ -63,7 +63,12 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
 
 def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int,
                        fsst_cache: dict | None = None) -> list[dict]:
-    """Encode one sorted chunk: six column blocks, Arrow/numpy kernels only.
+    """Encode one sorted chunk: one block per column, Arrow/numpy kernels only.
+
+    Dynamic schema (reference M1, ``converter/schema.go:17-107``): every
+    column of the chunk is encoded, not just the six core ones — the column
+    type is dispatched from the Arrow type and recorded in the block meta
+    as ``ctype`` so decode can rebuild the exact input type.
 
     ``fsst_cache`` carries per-column FSST trial verdicts across the chunks
     of one group (the raw floor in the selector keeps a stale verdict safe).
@@ -71,13 +76,17 @@ def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int,
     rows = []
     n = chunk.num_rows
     cache = fsst_cache if fsst_cache is not None else {}
-    for col in TRANSCRIPT_COLUMNS:
+    for col in chunk.schema.names:
+        if col == "_pkey":
+            continue
         arr = chunk.column(col)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        t = arr.type
         smin_str = smax_str = None
         smin_num = smax_num = None
-        if col in _STRING_COLS:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            ctype = "str"
             codec, payload, aux, meta, raw_bytes = arrow_ops.encode_string_column(
                 arr, fsst_hint=cache.get(col)
             )
@@ -88,15 +97,26 @@ def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int,
             if col == "conv_id" and n:  # chunk is sorted by (conv_id, turn_idx)
                 smin_str = arr[0].as_py()
                 smax_str = arr[n - 1].as_py()
+        elif pa.types.is_boolean(t):
+            ctype = "bool"
+            values = arr.to_numpy(zero_copy_only=False)
+            codec, payload, aux, meta, raw_bytes = planner.encode_best_bool(values)
+        elif pa.types.is_floating(t):
+            ctype = "f64"
+            values = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            codec, payload, aux, meta, raw_bytes = planner.encode_best_float(values)
         else:
-            if col == "ts":
+            if pa.types.is_timestamp(t):
+                ctype = "ts"
                 values = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
             else:
+                ctype = "i32" if t.bit_width <= 32 else "i64"
                 values = arr.to_numpy(zero_copy_only=False)
             codec, payload, aux, meta, raw_bytes = arrow_ops.encode_int_column(values)
             if n:
                 smin_num = int(values.min())
                 smax_num = int(values.max())
+        meta = {**meta, "ctype": ctype}
         rows.append(
             {
                 "partition_id": partition_id,
@@ -150,26 +170,73 @@ def with_partition_key(df: DataFrame, num_partitions: int) -> DataFrame:
 
 
 def normalize_input(df: DataFrame) -> DataFrame:
-    """Project the 6 engine columns; unify ts to TIMESTAMP (LTZ, UTC session).
+    """Project the 6 core columns + any extra columns; typed normalization.
 
-    Parquet written without tz info reads back as TIMESTAMP_NTZ; with the
-    session timezone pinned to UTC (session.py) the cast is value-identical,
-    so bit-identity on unix_micros is preserved in both directions.
+    Dynamic schema, the reference's load-bearing M1 move
+    (``converter/schema.go:17-107``): beyond the six core columns the input
+    may carry arbitrary extra columns. Each is normalized by type exactly
+    like the reference's INFO-header type switch (schema.go:51-88):
+    string/int/double/bool/timestamp pass through with typed zero-defaults
+    for nulls (``converter/formatOutput.go:89-116`` — never null);
+    array<int> and array<float> are serialized to comma-joined strings
+    (formatOutput.go:60-80, floats at %.2f); unsupported types are dropped
+    (schema.go:86-87 ``default: continue``). Extras are appended in lexical
+    order — the reference's determinism contract (schema.go:99-100).
 
-    Null strings normalize to "" — the reference's typed zero-default move
-    (``converter/formatOutput.go:89-116``: absence encoded as a typed
-    default, never null). Null keys (conv_id/turn_idx/ts) are invalid input
-    and fail loudly at encode (non-nullable output schema).
+    ts unifies to TIMESTAMP (LTZ): parquet written without tz info reads
+    back as TIMESTAMP_NTZ; with the session timezone pinned to UTC
+    (session.py) the cast is value-identical, so bit-identity on
+    unix_micros is preserved in both directions. Null keys
+    (conv_id/turn_idx/ts) are invalid input and fail loudly at encode
+    (non-nullable output schema).
     """
+    from pyspark.sql import types as T
+
     empty = F.lit("")
-    return df.select(
+    cols = [
         F.coalesce("conv_id", empty).alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
         F.coalesce("role", empty).alias("role"),
         F.coalesce("text", empty).alias("text"),
         F.coalesce("tool", empty).alias("tool"),
         F.col("ts").cast("timestamp").alias("ts"),
-    )
+    ]
+    core = set(TRANSCRIPT_COLUMNS)
+    extras = {f.name: f.dataType for f in df.schema.fields if f.name not in core}
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    float_types = (T.FloatType, T.DoubleType)
+    for name in sorted(extras):
+        t = extras[name]
+        c = F.col(name)
+        if isinstance(t, T.StringType):
+            cols.append(F.coalesce(c, empty).alias(name))
+        elif isinstance(t, int_types):
+            cols.append(F.coalesce(c.cast("long"), F.lit(0)).alias(name))
+        elif isinstance(t, (*float_types, T.DecimalType)):
+            cols.append(F.coalesce(c.cast("double"), F.lit(0.0)).alias(name))
+        elif isinstance(t, T.BooleanType):
+            cols.append(F.coalesce(c, F.lit(False)).alias(name))
+        elif isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            cols.append(
+                F.coalesce(c.cast("timestamp"),
+                           F.timestamp_micros(F.lit(0))).alias(name)
+            )
+        elif isinstance(t, T.ArrayType) and isinstance(t.elementType, int_types):
+            cols.append(F.coalesce(F.array_join(c, ","), empty).alias(name))
+        elif isinstance(t, T.ArrayType) and isinstance(t.elementType, float_types):
+            cols.append(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            c, lambda x: F.format_string("%.2f", x.cast("double"))
+                        ),
+                        ",",
+                    ),
+                    empty,
+                ).alias(name)
+            )
+        # anything else: dropped, like the reference's unsupported INFO shapes
+    return df.select(*cols)
 
 
 def encode_keyed(keyed: DataFrame, chunk_rows: int = CHUNK_ROWS) -> DataFrame:

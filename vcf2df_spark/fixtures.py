@@ -173,6 +173,25 @@ def transcripts_tiny(seed: int = 42) -> pd.DataFrame:
     )
 
 
+def transcripts_extended(n_convs: int = 600, seed: int = 42) -> pd.DataFrame:
+    """transcripts_small plus typed extra columns (reference M1 analogue:
+    arbitrary INFO columns beyond the reserved set, schema.go:17-107):
+    a double score, a boolean flag, a low-cardinality string, an int64
+    counter, and an int array (serialized to string at normalize, P6)."""
+    df = transcripts_small(n_convs=n_convs, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    n = len(df)
+    df["score"] = np.round(rng.random(n) * 5, 2)          # float64
+    df["flagged"] = rng.random(n) < 0.1                   # bool
+    df["model"] = rng.choice(
+        np.array(["m-small", "m-large", "m-turbo"], dtype=object), n
+    )
+    df["tokens_out"] = rng.integers(0, 4096, n)           # int64
+    df["tags"] = [list(map(int, rng.integers(0, 9, rng.integers(0, 4))))
+                  for _ in range(n)]                      # array<int>
+    return df
+
+
 def transcripts_skew(n_convs: int = 2240, mega_len: int = 12000, seed: int = 42) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     lens = np.clip(rng.geometric(0.08, n_convs), 2, 200)
@@ -193,7 +212,15 @@ def write_parquet(df: pd.DataFrame, path: str, compression: str = "zstd",
 
     import pyarrow.parquet as pq
 
-    table = pa.Table.from_pandas(df, schema=ARROW_SCHEMA, preserve_index=False)
+    extras = [c for c in df.columns if c not in set(ARROW_SCHEMA.names)]
+    if extras:  # dynamic schema: core fields typed, extras inferred
+        inferred = pa.Schema.from_pandas(df, preserve_index=False)
+        schema = pa.schema(
+            list(ARROW_SCHEMA) + [inferred.field(c) for c in extras]
+        )
+    else:
+        schema = ARROW_SCHEMA
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
     pq.write_table(table, path, compression=compression,
                    row_group_size=row_group_size)
     return os.path.getsize(path)

@@ -26,6 +26,32 @@ from pyspark.sql import functions as F
 
 from .blocks import MANIFEST_SCHEMA
 
+# per-column data dictionary (reference: human-readable column descriptions
+# in the Parquet footer, converter/reservedColumns.go:31-56, README.md:75-77)
+CORE_DESCRIPTIONS = {
+    "conv_id": "conversation identifier (string key)",
+    "turn_idx": "0-based turn index within the conversation",
+    "role": "speaker role (user/assistant/tool/system)",
+    "text": "utterance text (utf8)",
+    "tool": "tool name for tool turns, empty otherwise",
+    "ts": "event timestamp (microseconds since epoch, UTC)",
+}
+
+
+def _column_desc_expr():
+    """column -> description; extras described by their carried type."""
+    desc = None
+    for name, text in CORE_DESCRIPTIONS.items():
+        clause = F.when(F.col("column") == name, F.lit(text))
+        desc = clause if desc is None else desc.when(F.col("column") == name, F.lit(text))
+    return desc.otherwise(
+        F.concat(
+            F.lit("extra input column ("),
+            F.coalesce(F.get_json_object("meta", "$.ctype"), F.lit("str")),
+            F.lit(")"),
+        )
+    )
+
 
 def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFrame:
     """Aggregate block rows into one committed manifest row per partition.
@@ -54,6 +80,7 @@ def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFram
     # column->codec MAP would throw DUPLICATED_MAP_KEY.
     agg = (
         blocks.withColumn("_bh", per_block_hash)
+        .withColumn("_desc", _column_desc_expr())
         .groupBy("partition_id")
         .agg(
             (F.max("chunk_idx") + 1).cast("int").alias("n_chunks"),
@@ -67,6 +94,15 @@ def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFram
                     )
                 )
             ).alias("codecs"),
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.collect_list(F.struct("column", F.col("_desc")))
+                        )
+                    )
+                )
+            ).alias("column_desc"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
             F.sha2(F.concat_ws("", F.sort_array(F.collect_list("_bh"))), 256).alias(
@@ -80,6 +116,7 @@ def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFram
         "n_chunks",
         "n_rows",
         "codecs",
+        "column_desc",
         "raw_bytes",
         "enc_bytes",
         "checksum",

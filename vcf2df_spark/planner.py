@@ -146,6 +146,46 @@ def encode_best(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
     return (*best, raw_bytes)
 
 
+def encode_best_float(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
+    """Float64 columns: measured choice among raw / fshuffle / fdict.
+
+    fdict only when the bit-pattern cardinality of a sample is low (score
+    and rating columns often are); fshuffle is always cheap to try.
+    """
+    values = np.ascontiguousarray(np.asarray(values), dtype=np.float64)
+    raw_payload, raw_aux, raw_meta = codecs.encode("raw", values)
+    raw_bytes = len(raw_payload) + len(raw_aux)
+    best = ("raw", raw_payload, raw_aux, raw_meta)
+    best_size = _disk_proxy(raw_payload, raw_aux)
+    if len(values) == 0:
+        return (*best, raw_bytes)
+    cands = ["fshuffle"]
+    sample_ndv = len(pd.unique(values[:SAMPLE_ROWS].view(np.int64)))
+    if sample_ndv <= 4096 and sample_ndv <= max(len(values) / 4, 1):
+        cands.append("fdict")
+    for codec in cands:
+        payload, aux, meta = codecs.encode(codec, values)
+        size = _disk_proxy(payload, aux)
+        if size < best_size:
+            best, best_size = (codec, payload, aux, meta), size
+    return (*best, raw_bytes)
+
+
+def encode_best_bool(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
+    """Boolean columns: boolpack (1 bit/value) vs the raw floor, measured."""
+    values = np.asarray(values, dtype=np.bool_)
+    raw_payload, raw_aux, raw_meta = codecs.encode("raw", values)
+    raw_bytes = len(raw_payload) + len(raw_aux)
+    best = ("raw", raw_payload, raw_aux, raw_meta)
+    best_size = _disk_proxy(raw_payload, raw_aux)
+    if len(values):
+        payload, aux, meta = codecs.encode("boolpack", values)
+        size = _disk_proxy(payload, aux)
+        if size < best_size:
+            best = ("boolpack", payload, aux, meta)
+    return (*best, raw_bytes)
+
+
 _FSST_TRIAL_ROWS = 2048
 _FSST_TRIAL_BYTES = 1 << 18
 

@@ -170,14 +170,17 @@ def scan_transcripts(
     qual = qualifying_chunks(blocks, conv_id_range, turn_idx_range, ts_range)
     pruned = blocks.join(F.broadcast(qual), _CHUNK_KEY, "left_semi")
 
-    need = set(columns or TRANSCRIPT_COLUMNS)
-    if conv_id_range is not None:
-        need.add("conv_id")
-    if turn_idx_range is not None:
-        need.add("turn_idx")
-    if ts_range is not None:
-        need.add("ts")
-    decoded = decode_blocks(pruned, columns=sorted(need))
+    if columns is None:
+        decoded = decode_blocks(pruned)  # all columns, extras included
+    else:
+        need = set(columns)
+        if conv_id_range is not None:
+            need.add("conv_id")
+        if turn_idx_range is not None:
+            need.add("turn_idx")
+        if ts_range is not None:
+            need.add("ts")
+        decoded = decode_blocks(pruned, columns=sorted(need))
 
     if conv_id_range is not None:
         lo, hi = conv_id_range
@@ -198,5 +201,9 @@ def scan_transcripts(
         if hi is not None:
             decoded = decoded.filter(F.unix_micros("ts") <= _to_micros(hi))
     if columns is not None:
-        decoded = decoded.select(*[c for c in TRANSCRIPT_COLUMNS if c in set(columns)])
+        from .decode import _column_order
+
+        decoded = decoded.select(
+            *[c for c in _column_order(set(columns)) if c in decoded.columns]
+        )
     return decoded

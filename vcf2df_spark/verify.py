@@ -20,9 +20,18 @@ _P = 2_147_483_629  # large 31-bit prime: modular sum stays overflow-free
 
 
 def _signature(df: DataFrame):
-    sig = F.xxhash64(
-        "conv_id", "turn_idx", "role", "text", "tool", F.unix_micros("ts")
-    )
+    from pyspark.sql import types as T
+
+    # hash EVERY column (dynamic schema), sorted by name so both sides
+    # agree on order; timestamps as unix_micros (bit-identity contract)
+    exprs = []
+    for name in sorted(df.columns):
+        field = df.schema[name]
+        if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+            exprs.append(F.unix_micros(name))
+        else:
+            exprs.append(F.col(name))
+    sig = F.xxhash64(*exprs)
     return df.select(
         F.count("*").alias("n"),
         F.bit_xor(sig).alias("h_xor"),
@@ -31,10 +40,13 @@ def _signature(df: DataFrame):
 
 
 def multiset_equal(left: DataFrame, right: DataFrame) -> dict:
-    """Order-insensitive multiset equality over the six columns."""
+    """Order-insensitive multiset equality over all shared columns."""
+    cols_equal = set(left.columns) == set(right.columns)
+    common = sorted(set(left.columns) & set(right.columns))
+    left, right = left.select(*common), right.select(*common)
     l, r = _signature(left), _signature(right)
     return {
-        "equal": (l.n, l.h_xor, l.h_sum) == (r.n, r.h_xor, r.h_sum),
+        "equal": cols_equal and (l.n, l.h_xor, l.h_sum) == (r.n, r.h_xor, r.h_sum),
         "rows_left": l.n,
         "rows_right": r.n,
     }
