@@ -52,18 +52,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from vcf2df_spark.operators import relational, textops
+    from vcf2df_spark.operators import engineops, relational, textops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
+    out.update(engineops.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from vcf2df_spark.operators import relational, textops
+    from vcf2df_spark.operators import engineops, relational, textops
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(textops.ORACLES)
+    out.update(engineops.ORACLES)
     return out
