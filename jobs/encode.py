@@ -60,9 +60,14 @@ def main(argv: list[str] | None = None) -> None:
 
     df = read_transcripts(spark, args.input, args.format)
 
-    # input invariant (SURVEY.md §1.5 B3): (conv_id, turn_idx) unique
+    # input invariant (SURVEY.md §1.5 B3): (conv_id, turn_idx) unique.
+    # fail (the default) is FUSED into the encode pass below — the UDF sees
+    # each partition sorted by (conv_id, turn_idx) and counts adjacent
+    # duplicates, surfacing them as __dup__ marker block rows: one shuffle,
+    # one pass over the input. quarantine must materialize the dropped rows,
+    # so only that explicit repair mode pays for the windowed pre-pass.
     n_dup_rows = 0
-    if args.on_duplicates != "ignore":
+    if args.on_duplicates == "quarantine":
         from pyspark.sql.window import Window
 
         wdup = Window.partitionBy("conv_id", "turn_idx").orderBy(
@@ -72,12 +77,6 @@ def main(argv: list[str] | None = None) -> None:
         dupes = ranked.filter(F.col("_rn") > 1).drop("_rn")
         n_dup_rows = dupes.count()
         if n_dup_rows:
-            if args.on_duplicates == "fail":
-                print(json.dumps({"job_id": args.job_id, "status": "invalid-input",
-                                  "duplicate_rows": n_dup_rows}))
-                if owns_session:
-                    spark.stop()
-                sys.exit(5)
             dupes.write.mode("append").parquet(f"{args.out}/quarantine")
             df = ranked.filter(F.col("_rn") == 1).drop("_rn")
 
@@ -103,7 +102,8 @@ def main(argv: list[str] | None = None) -> None:
         pending = pending.join(F.broadcast(keep), "_pkey", "inner")
         truncated = True
 
-    blocks = encode_keyed(pending).cache()
+    detect = args.on_duplicates == "fail"
+    blocks = encode_keyed(pending, detect_dups=detect).cache()
 
     n_blocks = blocks.count()
     if n_blocks == 0:
@@ -112,6 +112,21 @@ def main(argv: list[str] | None = None) -> None:
         if owns_session:
             spark.stop()
         return
+
+    if detect:
+        from vcf2df_spark.encode import DUP_MARKER
+
+        dup_total = (
+            blocks.filter(F.col("column") == DUP_MARKER)
+            .agg(F.sum("n_rows")).collect()[0][0]
+        )
+        if dup_total:
+            print(json.dumps({"job_id": args.job_id, "status": "invalid-input",
+                              "duplicate_rows": int(dup_total)}))
+            if owns_session:
+                spark.stop()
+            sys.exit(5)
+        blocks = blocks.filter(F.col("column") != DUP_MARKER)
 
     # stats from the materialized cache BEFORE writes mutate the warehouse
     stats = blocks.agg(

@@ -126,3 +126,28 @@ def test_stateful_conversation_tracker(spark, tmp_path):
         got["max_turn_idx"].sort_index().astype("int64")
         .equals(want["max_turn_idx"].sort_index().astype("int64"))
     )
+
+
+def test_batch_features_vectorized_matches_reference():
+    """The Arrow-buffer batch path equals a per-row reference computation,
+    including empty payloads (regression: per-row .as_py() materialization
+    replaced by one segmented bincount per batch)."""
+    import math
+
+    import pyarrow as pa
+
+    payloads = [b"\x89PNG\r\n\x1a\x08" + bytes(range(50)) * 3, b"", b"\x00",
+                bytes([7] * 100), b"abcdefghij" * 20]
+    arr = pa.array(payloads, type=pa.binary())
+    n_bytes, entropy, headers = multimodal._batch_features(arr)
+
+    for i, b in enumerate(payloads):
+        assert n_bytes[i] == len(b)
+        assert headers[i] == b[:8].hex()
+        if b:
+            counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+            p = counts[counts > 0] / len(b)
+            want = -(p * np.log2(p)).sum()
+            assert math.isclose(entropy[i], round(want, 6), abs_tol=1e-6)
+        else:
+            assert entropy[i] == 0.0

@@ -144,6 +144,7 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None) -> DataFr
     """
     import pyspark.sql.functions as F
 
+    blocks = blocks.filter(~F.col("column").startswith("__"))  # markers
     if columns is not None:
         blocks = blocks.filter(F.col("column").isin(list(columns)))
     out_schema = schema_from_blocks(blocks, requested=columns)

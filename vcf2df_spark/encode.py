@@ -138,7 +138,26 @@ def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int,
     return rows
 
 
-def _make_encode_group(chunk_rows: int = CHUNK_ROWS):
+DUP_MARKER = "__dup__"  # sentinel block row: duplicate keys found in-pass
+
+
+def _count_adjacent_dups(table: pa.Table) -> int:
+    """Duplicate (conv_id, turn_idx) count on a sorted group — vectorized
+    adjacent equality, no extra shuffle or pass over the input. The salted
+    partition key is a function of (conv_id, turn_idx // TURNS_PER_SPLIT),
+    so all copies of one key land in the same group; sorted order makes
+    them adjacent."""
+    if table.num_rows < 2:
+        return 0
+    conv = table.column("conv_id")
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    turn = table.column("turn_idx").to_numpy(zero_copy_only=False)
+    return int(((codes[1:] == codes[:-1]) & (turn[1:] == turn[:-1])).sum())
+
+
+def _make_encode_group(chunk_rows: int = CHUNK_ROWS, detect_dups: bool = False):
     def _encode_group(table: pa.Table) -> pa.Table:
         partition_id = int(table.column("_pkey")[0].as_py())
         idx = pc.sort_indices(
@@ -146,6 +165,19 @@ def _make_encode_group(chunk_rows: int = CHUNK_ROWS):
         )
         table = table.take(idx)
         out: list[dict] = []
+        if detect_dups:
+            n_dups = _count_adjacent_dups(table)
+            if n_dups:
+                out.append(
+                    {
+                        "partition_id": partition_id, "chunk_idx": -1,
+                        "column": DUP_MARKER, "codec": "none",
+                        "n_rows": n_dups, "payload": None, "aux": None,
+                        "meta": "{}", "raw_bytes": 0, "enc_bytes": 0,
+                        "stat_min_str": None, "stat_max_str": None,
+                        "stat_min_num": None, "stat_max_num": None,
+                    }
+                )
         fsst_cache: dict = {}
         for chunk_idx, lo in enumerate(range(0, table.num_rows, chunk_rows)):
             chunk = table.slice(lo, chunk_rows)
@@ -239,16 +271,23 @@ def normalize_input(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def encode_keyed(keyed: DataFrame, chunk_rows: int = CHUNK_ROWS) -> DataFrame:
+def encode_keyed(keyed: DataFrame, chunk_rows: int = CHUNK_ROWS,
+                 detect_dups: bool = False) -> DataFrame:
     """Pre-keyed transcripts (has _pkey) -> blocks; Arrow-native UDF.
 
     ``chunk_rows`` trades compression ratio against zone-map pruning
     granularity: chunks are contiguous (conv_id, turn_idx)-sorted slices of
     a partition, so smaller chunks give the scan path (scan.py) finer
     min/max pruning within each hash partition.
+
+    ``detect_dups`` fuses the (conv_id, turn_idx)-uniqueness validation
+    into the encode pass itself: duplicate counts surface as ``__dup__``
+    marker block rows instead of costing a separate windowed pass + action
+    over the full input (the validate-then-encode default used to read the
+    100-TB input twice).
     """
     return keyed.groupBy("_pkey").applyInArrow(
-        _make_encode_group(chunk_rows), BLOCKS_SCHEMA
+        _make_encode_group(chunk_rows, detect_dups), BLOCKS_SCHEMA
     )
 
 

@@ -69,39 +69,81 @@ _STUB_DECODERS = {"image": _decode_image, "audio": _decode_audio,
                   "video": _decode_image}
 
 
-def _byte_entropy(arr: np.ndarray) -> float:
-    if len(arr) == 0:
-        return 0.0
-    counts = np.bincount(arr, minlength=256).astype(np.float64)
-    p = counts[counts > 0] / len(arr)
-    return float(-(p * np.log2(p)).sum())
+def _binary_buf_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """BinaryArray -> (uint8 data view, int64 offsets rebased to 0)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        offsets[0] : offsets[-1]
+    ]
+    return data, offsets - offsets[0]
+
+
+def _batch_features(payload: pa.Array) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Vectorized (n_bytes, entropy, header_hex) straight from the Arrow
+    binary buffer — no per-row ``.as_py()`` payload materialization.
+
+    Entropy: one segmented 256-bin histogram for the whole batch
+    (``np.bincount`` over ``segment_id * 256 + byte``), then a vectorized
+    Shannon sum per row. Headers touch at most 8 bytes per row.
+    """
+    data, offsets = _binary_buf_offsets(payload)
+    lengths = np.diff(offsets)
+    n = len(lengths)
+    if n == 0:
+        return lengths, np.zeros(0), []
+    seg_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    counts = np.bincount(
+        seg_id * 256 + data.astype(np.int64), minlength=n * 256
+    ).reshape(n, 256)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = counts / np.maximum(lengths, 1)[:, None]
+        terms = np.where(counts > 0, p * np.log2(p), 0.0)
+    entropy = np.round(-terms.sum(axis=1), 6)
+    entropy[lengths == 0] = 0.0
+    starts = offsets[:-1]
+    take = np.minimum(lengths, 8)
+    headers = [data[s : s + t].tobytes().hex() for s, t in zip(starts, take)]
+    return lengths, entropy, headers
 
 
 def _feature_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         payload = batch.column(batch.schema.get_field_index("payload"))
+        kind_arr = batch.column(batch.schema.get_field_index("kind"))
         n = len(batch)
-        n_bytes = np.empty(n, dtype=np.int64)
-        entropy = np.empty(n, dtype=np.float64)
-        header = []
-        decoded = np.zeros(n, dtype=bool)
-        kinds = batch.column(batch.schema.get_field_index("kind")).to_pylist()
-        for i in range(n):
-            b = payload[i].as_py() or b""
-            a = np.frombuffer(b, dtype=np.uint8)
-            n_bytes[i] = len(a)
-            entropy[i] = round(_byte_entropy(a), 6)
-            header.append(a[:8].tobytes().hex())
-            try:  # the stub decode: plumbing is exercised, media libs absent
-                _STUB_DECODERS[kinds[i]](b)
-                decoded[i] = True
+        n_bytes, entropy, header = _batch_features(payload)
+        # stub decode exercised once per distinct kind per batch, not per
+        # row; all stubs raise (media libs absent), so decoded stays False
+        decoded_by_kind = {}
+        enc = pa.compute.dictionary_encode(kind_arr)
+        kind_values = enc.dictionary.to_pylist()
+        first_idx = {}
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        for k_i, k in enumerate(kind_values):
+            pos = int(np.argmax(codes == k_i))
+            first_idx[k] = pos
+        for k, pos in first_idx.items():
+            try:
+                _STUB_DECODERS[k](payload[pos].as_py() or b"")
+                decoded_by_kind[k] = True
             except NotImplementedError:
-                decoded[i] = False
+                decoded_by_kind[k] = False
+        decoded = np.array(
+            [decoded_by_kind[kind_values[c]] for c in codes], dtype=bool
+        ) if n else np.zeros(0, dtype=bool)
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column(batch.schema.get_field_index("media_id")),
-                batch.column(batch.schema.get_field_index("kind")),
-                pa.array(n_bytes),
+                kind_arr,
+                pa.array(np.asarray(n_bytes, dtype=np.int64)),
                 pa.array(entropy),
                 pa.array(header, type=pa.string()),
                 pa.array(decoded),

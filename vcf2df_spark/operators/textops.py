@@ -22,8 +22,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _P = 1_000_000_007
-# minhash permutation params (a, b): small odd multipliers, fixed
-_MINHASH_PARAMS = [(131, 7), (197, 91), (311, 43), (503, 17)]
+# minhash signature: parameterized (perms, bands, rows-per-band) —
+# production-sized, not a toy k=4. (a, b) affine params are a fixed
+# deterministic sequence of odd multipliers.
+_MINHASH_K = 16
+_BAND_ROWS = 4
+_N_BANDS = _MINHASH_K // _BAND_ROWS
+# hot-band cap: a band bucket shared by more than this many docs (boilerplate
+# shingle sets, empty docs) is skipped as a candidate source — on a skewed
+# corpus one hot bucket otherwise produces O(bucket^2) candidate pairs.
+_BAND_CAP = 64
+_MINHASH_PARAMS = [(2 * i * i + 131 * i + 101, 31 * i + 7)
+                   for i in range(_MINHASH_K)]
 
 
 def _words(col: str = "text") -> Column:
@@ -256,14 +266,25 @@ def q_ann_buckets(spark, sf_dir):
     )
 
 
-# --- embedding-cosine near-duplicates (label-blocked brute force) --------------------
+# --- embedding-cosine near-duplicates (ANN-bucketed candidates) ----------------------
+# candidate generation reuses the sign-bucket coarse quantizer (ann_buckets):
+# the self-join is a hash join on bucket, not all-pairs within a label — at
+# scale a big label is quadratic, a sign bucket is the standard LSH cell
+# whose population is controlled by adding bits.
 
 def q_embedding_near_dup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = (
+        F.when(e[0] > 0, 4).otherwise(0)
+        + F.when(e[1] > 0, 2).otherwise(0)
+        + F.when(e[2] > 0, 1).otherwise(0)
+    )
+    emb = emb.select("vec_id", bucket.alias("bucket"), "embedding")
     a, b = emb.alias("a"), emb.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.label") == F.col("b.label"))
+        (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     dot = F.aggregate(
@@ -367,20 +388,27 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 # --- banded-LSH near-dup verdicts (the full MinHash dedup pipeline) ------------
-# bands of 2 rows from the k=4 signature; a pair is a candidate if ANY band
-# matches (union of equi-joins keeps both joins hash-based — an OR join
-# condition would force a nested-loop); candidates are verified with exact
-# word-set jaccard and kept at >= 0.7.
+# _N_BANDS bands of _BAND_ROWS rows from the _MINHASH_K-perm signature; a
+# pair is a candidate if ANY band matches (union of equi-joins keeps every
+# join hash-based — an OR join condition would force a nested-loop). Band
+# buckets larger than _BAND_CAP are skipped (hot-band cap: bounds the
+# worst-case candidate blowup on skewed corpora). Candidates are verified
+# with exact word-set jaccard and kept at >= 0.7.
 
 def q_near_dup_verdicts(spark, sf_dir):
+    from pyspark.sql.window import Window
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(_words()).alias("ws"), *_minhash_cols()
     )
-    band1 = docs.select("doc_id", "ws", F.struct("mh0", "mh1").alias("band"))
-    band2 = docs.select("doc_id", "ws", F.struct("mh2", "mh3").alias("band"))
 
-    def pairs(banded):
-        a, b = banded.alias("a"), banded.alias("b")
+    def pairs(band_idx: int):
+        mh = [f"mh{band_idx * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]
+        banded = docs.select(
+            "doc_id", "ws", F.struct(*mh).alias("band")
+        ).withColumn("bsz", F.count("*").over(Window.partitionBy("band")))
+        kept = banded.filter(F.col("bsz") <= _BAND_CAP)
+        a, b = kept.alias("a"), kept.alias("b")
         return a.join(
             b, (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -391,7 +419,10 @@ def q_near_dup_verdicts(spark, sf_dir):
             F.col("b.ws").alias("ws_b"),
         )
 
-    cands = pairs(band1).unionByName(pairs(band2)).dropDuplicates(["doc_a", "doc_b"])
+    cands = pairs(0)
+    for j in range(1, _N_BANDS):
+        cands = cands.unionByName(pairs(j))
+    cands = cands.dropDuplicates(["doc_a", "doc_b"])
     inter = F.size(
         F.filter(F.col("ws_a"), lambda w: F.array_contains(F.col("ws_b"), w))
     )
@@ -503,6 +534,34 @@ _MINHASH_SELECT = ", ".join(
     _mh_sql(i, a, b) for i, (a, b) in enumerate(_MINHASH_PARAMS)
 )
 
+# near-dup banded CTEs: per band, window-count the bucket size and keep
+# buckets <= _BAND_CAP (the hot-band cap), then equi-join within the band
+def _band_cte(j: int) -> str:
+    mh = [f"mh{j * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]
+    keys = ", ".join(mh)
+    return (
+        f"band{j} AS (SELECT doc_id, ws, {keys} FROM ("
+        f"SELECT doc_id, ws, {keys}, "
+        f"count(*) OVER (PARTITION BY {keys}) AS bsz FROM sigs"
+        f") WHERE bsz <= {_BAND_CAP})"
+    )
+
+
+def _band_pairs(j: int) -> str:
+    mh = [f"mh{j * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]
+    on = " AND ".join(f"a.{m} = b.{m}" for m in mh)
+    return (
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"a.ws AS ws_a, b.ws AS ws_b "
+        f"FROM band{j} a JOIN band{j} b ON {on} AND a.doc_id < b.doc_id"
+    )
+
+
+_NEAR_DUP_BAND_CTES = ",\n        ".join(_band_cte(j) for j in range(_N_BANDS))
+_NEAR_DUP_PAIR_UNION = "\n            UNION ALL ".join(
+    _band_pairs(j) for j in range(_N_BANDS)
+)
+
 _SIMHASH_BITSUMS = ", ".join(
     f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16)
 )
@@ -544,13 +603,11 @@ ORACLES = {
         WITH sigs AS (
             SELECT doc_id, list_distinct({_SQL_WORDS}) AS ws, {_MINHASH_SELECT}
             FROM documents
-        ), cands AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.ws AS ws_a, b.ws AS ws_b
-            FROM sigs a JOIN sigs b
-              ON a.doc_id < b.doc_id
-             AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
-                  OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        ),
+        {_NEAR_DUP_BAND_CTES}
+        , cands AS (
+            SELECT DISTINCT doc_a, doc_b, ws_a, ws_b
+            FROM ({_NEAR_DUP_PAIR_UNION})
         )
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT doc_a, doc_b,
@@ -588,8 +645,9 @@ ORACLES = {
         WITH sigs AS (
             SELECT doc_id,
                    list_min(list_transform({_SQL_WORDS},
-                       w -> (131 * ({_SQL_HASH.format(w='w')} % 4294967296) + 7)
-                            % {_P})) AS mh0
+                       w -> ({_MINHASH_PARAMS[0][0]}
+                             * ({_SQL_HASH.format(w='w')} % 4294967296)
+                             + {_MINHASH_PARAMS[0][1]}) % {_P})) AS mh0
             FROM documents
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh0 AS band_hash
@@ -706,14 +764,20 @@ ORACLES = {
         GROUP BY lang
     """,
     "embedding_near_dup": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+            FROM embeddings
+        )
         SELECT vec_a, vec_b, cosine FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                          3) AS cosine
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         ) WHERE cosine >= 0.9
     """,
     "quality_filter": f"""
