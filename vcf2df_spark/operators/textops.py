@@ -99,6 +99,10 @@ def q_lsh_candidate_pairs(spark, sf_dir):
 
 
 # --- n-gram (word-set) jaccard over blocked pairs ----------------------------
+# ORACLE DEMO, not the production dedup path: blocking by `source` is
+# all-pairs within a block (quadratic in block size). At corpus scale use
+# q_near_dup_verdicts — banded MinHash equi-joins with a hot-band cap
+# generate candidates sub-quadratically; exact jaccard verifies only those.
 
 def q_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
@@ -125,26 +129,27 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 # --- simhash (16-bit, over distinct word hashes) ------------------------------
+# computed fully in-array with F.aggregate: one partition-local pass, NO
+# shuffle (the explode+groupBy formulation shuffled the entire exploded
+# corpus back together — a scale-killer the higher-order version avoids)
 
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    h = F.explode(
-        F.array_distinct(F.transform(_words(), lambda w: _word_hash(w)))
-    ).alias("h")
-    exploded = docs.select("doc_id", h)
-    bit_sums = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"s{b}")
-            for b in range(16)
-        ]
-    )
+    hashes = F.array_distinct(F.transform(_words(), lambda w: _word_hash(w)))
+
+    def bitsum(b: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
     sim = None
     for b in range(16):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        term = F.when(bitsum(b) > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.cast("long").alias("simhash16"))
+    return docs.select("doc_id", sim.cast("long").alias("simhash16"))
 
 
 # --- token counting -----------------------------------------------------------
@@ -337,18 +342,35 @@ _KMV_K = 64
 _H_RANGE = 2**56  # md5 14-hex-digit prefix range
 
 
+def _kmv_partial_kmin(batches):
+    """mapInArrow combiner: per input partition, emit only its K smallest
+    DISTINCT hashes. The global K smallest distinct values are a subset of
+    each partition's K smallest distinct values, so the full word-hash
+    stream never shuffles — only <=K rows per partition do."""
+    import numpy as np
+    import pyarrow as pa
+
+    best = None
+    for batch in batches:
+        h = batch.column(0).to_numpy(zero_copy_only=False)
+        merged = h if best is None else np.concatenate([best, h])
+        best = np.unique(merged)[:_KMV_K]  # np.unique sorts
+    if best is not None and len(best):
+        yield pa.RecordBatch.from_arrays([pa.array(best)], names=["h"])
+
+
 def q_kmv_distinct(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    hashes = (
-        docs.select(F.explode(_words()).alias("w"))
-        .select(_word_hash(F.col("w")).alias("h"))
-        .distinct()
+    exploded = docs.select(F.explode(_words()).alias("w")).select(
+        _word_hash(F.col("w")).alias("h")
     )
+    partial = exploded.mapInArrow(_kmv_partial_kmin, "h long")
     kth = (
-        hashes.orderBy("h").limit(_KMV_K)
+        partial.distinct().orderBy("h").limit(_KMV_K)
         .agg(F.max("h").alias("kth"), F.count("*").alias("k"))
     )
-    exact = hashes.agg(F.count("*").alias("exact_ndv"))
+    # ground-truth column for the demo; countDistinct is partial+final agg
+    exact = exploded.agg(F.countDistinct("h").alias("exact_ndv"))
     return kth.crossJoin(exact).select(
         "k",
         F.round((F.col("k") - 1) * F.lit(_H_RANGE) / F.col("kth"), 1).alias(
@@ -562,11 +584,16 @@ _NEAR_DUP_PAIR_UNION = "\n            UNION ALL ".join(
     _band_pairs(j) for j in range(_N_BANDS)
 )
 
-_SIMHASH_BITSUMS = ", ".join(
-    f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16)
+# in-array simhash terms, mirroring the Spark F.aggregate formulation
+# (empty docs yield 0, matching Spark's aggregate-over-empty-array init)
+_SIMHASH_HASHES = (
+    f"list_distinct(list_transform({_SQL_WORDS}, "
+    f"w -> {_SQL_HASH.format(w='w')}))"
 )
 _SIMHASH_COMBINE = " + ".join(
-    f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+    f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1))"
+    f" > 0 THEN {2**b} ELSE 0 END)"
+    for b in range(16)
 )
 
 ORACLES = {
@@ -671,15 +698,10 @@ ORACLES = {
     """,
     "simhash": f"""
         WITH hashes AS (
-            SELECT doc_id,
-                   unnest(list_distinct(list_transform({_SQL_WORDS},
-                       w -> {_SQL_HASH.format(w='w')}))) AS h
-            FROM documents
-        ), bitsums AS (
-            SELECT doc_id, {_SIMHASH_BITSUMS} FROM hashes GROUP BY doc_id
+            SELECT doc_id, {_SIMHASH_HASHES} AS hs FROM documents
         )
         SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash16
-        FROM bitsums
+        FROM hashes
     """,
     "token_stats": f"""
         SELECT doc_id,
