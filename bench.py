@@ -44,14 +44,18 @@ def bench_input(sf: float, mult: int = 1) -> str:
 
 
 def run_pipeline(master: str, input_path: str, warehouse: str,
-                 partitions: int) -> dict:
-    """One full encode -> decode -> verify cycle; returns timings + counters."""
+                 partitions: int, cycles: int = 3) -> dict:
+    """Full encode -> decode -> verify cycles in one session; per-phase
+    MEDIAN over ``cycles`` timed runs after one warm-up (this host's wall
+    clock swings ~2x with background load — a single-shot number is noise).
+    Bit-identity must hold on EVERY cycle."""
     from pyspark.sql import functions as F
 
     from vcf2df_spark.decode import decode_blocks
     from vcf2df_spark.encode import encode_keyed, normalize_input, with_partition_key
     from vcf2df_spark.session import get_spark
     from vcf2df_spark.shipping import ensure_shipped
+    from vcf2df_spark.verify import multiset_equal
 
     spark = get_spark(master=master, app_name="bench",
                       shuffle_partitions=partitions)
@@ -60,26 +64,34 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
         src = normalize_input(spark.read.parquet(input_path))
         n_rows = src.count()
 
-        t0 = time.time()
-        keyed = with_partition_key(src, partitions)
-        blocks = encode_keyed(keyed)
-        shutil.rmtree(warehouse, ignore_errors=True)
-        blocks.write.option("compression", "zstd").parquet(f"{warehouse}/blocks")
-        t_encode = time.time() - t0
+        enc_t, dec_t, ver_t = [], [], []
+        mismatch = 0
+        n_dec = -1
+        for cycle in range(cycles + 1):  # cycle 0 = warm-up
+            t0 = time.time()
+            keyed = with_partition_key(src, partitions)
+            blocks = encode_keyed(keyed)
+            shutil.rmtree(warehouse, ignore_errors=True)
+            blocks.write.option("compression", "zstd").parquet(f"{warehouse}/blocks")
+            t_encode = time.time() - t0
 
-        t0 = time.time()
+            t0 = time.time()
+            stored = spark.read.parquet(f"{warehouse}/blocks")
+            decoded = decode_blocks(stored)
+            n_dec = decoded.count()
+            t_decode = time.time() - t0
+
+            t0 = time.time()
+            res = multiset_equal(src, decoded)
+            mismatch += 0 if res["equal"] else 1
+            t_verify = time.time() - t0
+            if cycle:
+                enc_t.append(t_encode)
+                dec_t.append(t_decode)
+                ver_t.append(t_verify)
+
+        med = lambda xs: sorted(xs)[len(xs) // 2]
         stored = spark.read.parquet(f"{warehouse}/blocks")
-        decoded = decode_blocks(stored)
-        n_dec = decoded.count()
-        t_decode = time.time() - t0
-
-        t0 = time.time()
-        from vcf2df_spark.verify import multiset_equal
-
-        res = multiset_equal(src, decoded)
-        mismatch = 0 if res["equal"] else 1
-        t_verify = time.time() - t0
-
         agg = stored.agg(F.sum("raw_bytes").alias("raw"),
                          F.sum("enc_bytes").alias("enc")).collect()[0]
         disk = sum(
@@ -90,10 +102,11 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             "rows": n_rows,
             "rows_decoded": n_dec,
             "mismatch_rows": mismatch,
-            "encode_sec": round(t_encode, 2),
-            "decode_sec": round(t_decode, 2),
-            "verify_sec": round(t_verify, 2),
-            "turns_per_sec_encode": int(n_rows / t_encode),
+            "encode_sec": round(med(enc_t), 2),
+            "decode_sec": round(med(dec_t), 2),
+            "verify_sec": round(med(ver_t), 2),
+            "encode_runs_sec": [round(t, 2) for t in enc_t],
+            "turns_per_sec_encode": int(n_rows / med(enc_t)),
             "raw_bytes": int(agg["raw"]),
             "enc_bytes": int(agg["enc"]),
             "disk_bytes": disk,
@@ -193,6 +206,7 @@ def main() -> None:
         },
         "rows": r["rows"],
         "turns_per_sec_encode": r["turns_per_sec_encode"],
+        "encode_runs_sec": r["encode_runs_sec"],
         "compression_ratio_raw": round(r["raw_bytes"] / max(r["enc_bytes"], 1), 3),
         "disk_bytes": r["disk_bytes"],
         "bit_identical": ok,

@@ -113,14 +113,38 @@ def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
         "str": T.StringType(), "i32": T.IntegerType(), "i64": T.LongType(),
         "ts": T.TimestampType(), "f64": T.DoubleType(), "bool": T.BooleanType(),
     }
-    rows = (
+    # every chunk carries one block per column, so ONE chunk's metadata is
+    # the full schema. Blocks of a chunk are written contiguously, so in a
+    # CollectLimit sample every (partition, chunk) group except the last
+    # (possibly truncated by the limit) is complete — one short-circuited
+    # scan in the common case, a filtered point-read only as fallback.
+    sample = (
         blocks.select(
-            "column", F.get_json_object("meta", "$.ctype").alias("ctype")
+            "partition_id", "chunk_idx", "column",
+            F.get_json_object("meta", "$.ctype").alias("ctype"),
         )
-        .groupBy("column")
-        .agg(F.first("ctype", ignorenulls=True).alias("ctype"))
+        .limit(4096)
         .collect()
     )
+    rows = []
+    if sample:
+        first_key = (sample[0]["partition_id"], sample[0]["chunk_idx"])
+        last_key = (sample[-1]["partition_id"], sample[-1]["chunk_idx"])
+        if first_key != last_key:  # first group is complete
+            rows = [r for r in sample
+                    if (r["partition_id"], r["chunk_idx"]) == first_key]
+        else:  # one giant group: point-read it exactly (pushed filters)
+            rows = (
+                blocks.filter(
+                    (F.col("partition_id") == first_key[0])
+                    & (F.col("chunk_idx") == first_key[1])
+                )
+                .select(
+                    "column",
+                    F.get_json_object("meta", "$.ctype").alias("ctype"),
+                )
+                .collect()
+            )
     ctypes = {
         r["column"]: (r["ctype"] or _CORE_CTYPES.get(r["column"], "str"))
         for r in rows
