@@ -124,11 +124,15 @@ def scaling_run(master: str, input_path: str, partitions: int = 256) -> dict:
     from vcf2df_spark.encode import encode_keyed, normalize_input, with_partition_key
 
     zip_path = "/tmp/vcf2df_spark_bench.zip"
-    if not os.path.exists(zip_path):
-        subprocess.run(
-            ["zip", "-qr", zip_path, "vcf2df_spark"],
-            cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
-        )
+    # ALWAYS rebuild: a stale cached zip ships old module code to executors
+    # while the driver pickles references into the new code (AttributeError
+    # at deserialize, or silently divergent behavior)
+    if os.path.exists(zip_path):
+        os.unlink(zip_path)
+    subprocess.run(
+        ["zip", "-qr", zip_path, "vcf2df_spark", "-x", "*__pycache__*"],
+        cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
+    )
     spark = (
         SparkSession.builder.master(master).appName("bench-scaling")
         .config("spark.sql.session.timeZone", "UTC")
