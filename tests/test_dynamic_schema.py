@@ -134,3 +134,27 @@ def test_manifest_describes_extra_columns(spark):
     assert desc["flagged"] == "extra input column (bool)"
     assert desc["tokens_out"] == "extra input column (i64)"
     assert desc["model"] == "extra input column (str)"
+
+
+def test_fetch_conversation_with_extras(spark, tmp_path):
+    from vcf2df_spark import scan
+
+    pdf = fixtures.transcripts_extended(n_convs=60)
+    blocks = encode_transcripts(spark.createDataFrame(pdf), num_partitions=4,
+                                chunk_rows=256)
+    wh = str(tmp_path / "wh")
+    blocks.write.parquet(f"{wh}/blocks")
+    target = "conv-00000011"
+    got = scan.fetch_conversation(spark, wh, target)
+    want = (pdf[pdf.conv_id == target].sort_values("turn_idx")
+            .reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    assert list(got.columns) == ["conv_id", "turn_idx", "role", "text",
+                                 "tool", "ts", "flagged", "model", "score",
+                                 "tags", "tokens_out"]
+    assert np.array_equal(
+        got["score"].to_numpy().view(np.int64),
+        want["score"].to_numpy().view(np.int64),
+    )
+    assert (got["flagged"].to_numpy() == want["flagged"].to_numpy()).all()
+    assert (got["model"].to_numpy() == want["model"].to_numpy()).all()

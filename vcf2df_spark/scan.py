@@ -91,15 +91,21 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
 
     from . import arrow_ops, codecs
 
-    blocks = spark.read.parquet(f"{warehouse}/blocks")
+    from .decode import _CORE_CTYPES, _column_order
+
+    blocks = spark.read.parquet(f"{warehouse}/blocks").filter(
+        ~F.col("column").startswith("__")
+    )
     qual = qualifying_chunks(blocks, conv_id_range=(conv_id, conv_id))
     cand = blocks.join(F.broadcast(qual), _CHUNK_KEY, "left_semi").collect()
     by_chunk: dict[tuple, dict[str, dict]] = {}
     for r in cand:
         by_chunk.setdefault((r.partition_id, r.chunk_idx), {})[r.column] = r
     frames = []
+    col_order: list[str] = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     for key, cols in by_chunk.items():
         n = int(cols["conv_id"].n_rows)
+        col_order = _column_order(cols)
 
         def _decode_str(col, lo=0, hi=None):
             r = cols[col]
@@ -120,27 +126,33 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
         if hi <= lo:
             continue
         out = {"conv_id": cids[lo:hi]}
-        for col in ("role", "text", "tool"):
-            out[col] = _decode_str(col, lo, hi).to_pylist()
-        for col in ("turn_idx", "ts"):
+        for col in col_order:  # dynamic schema: extras included
+            if col == "conv_id":
+                continue
             r = cols[col]
+            meta = json.loads(r.meta)
+            ctype = meta.get("ctype") or _CORE_CTYPES.get(col, "str")
+            if ctype == "str":
+                out[col] = _decode_str(col, lo, hi).to_pylist()
+                continue
             vals = codecs.decode(
-                r.codec, bytes(r.payload or b""), bytes(r.aux or b""),
-                json.loads(r.meta), n,
+                r.codec, bytes(r.payload or b""), bytes(r.aux or b""), meta, n
             )[lo:hi]
-            out[col] = (
-                pd.to_datetime(vals.astype("int64"), unit="us")
-                if col == "ts" else vals.astype("int32")
-            )
+            if ctype == "ts":
+                out[col] = pd.to_datetime(vals.astype("int64"), unit="us")
+            elif ctype == "i32":
+                out[col] = vals.astype("int32")
+            elif ctype == "bool":
+                out[col] = vals.astype(bool)
+            else:  # i64 / f64 keep their numpy dtype
+                out[col] = vals
         frames.append(pd.DataFrame(out))
     if not frames:
-        return pd.DataFrame(
-            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-        )
+        return pd.DataFrame(columns=col_order)
     return (
         pd.concat(frames, ignore_index=True)
         .sort_values("turn_idx")
-        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        .reset_index(drop=True)[col_order]
     )
 
 
