@@ -1,0 +1,53 @@
+"""Query job: run SQL directly over the encoded warehouse.
+
+    spark-submit --py-files vcf2df_spark.zip jobs/query.py \
+        --warehouse /path/warehouse --sql "SELECT role, count(*) FROM t GROUP BY role"
+
+The switch-over surface for users of the reference: the encoded blocks
+table is exposed as a SQL view named ``t`` (decode happens lazily inside
+the plan; column pruning and zone-map pruning apply when the scan helpers
+are used). Prints one JSON line per result row, then a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--sql", required=True)
+    p.add_argument("--view-name", default="t")
+    p.add_argument("--master", default=None)
+    p.add_argument("--limit", type=int, default=100,
+                   help="max rows printed (the full result still computes)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from vcf2df_spark.scan import register_transcript_view
+    from vcf2df_spark.session import get_spark
+    from vcf2df_spark.shipping import ensure_shipped
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(master=args.master, app_name="query")
+    ensure_shipped(spark)
+    t0 = time.time()
+    register_transcript_view(spark, args.warehouse, args.view_name)
+    out = spark.sql(args.sql)
+    rows = out.limit(args.limit).collect()
+    n = out.count()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"status": "ok", "rows": n,
+                      "shown": min(n, args.limit),
+                      "wall_sec": round(time.time() - t0, 2)}))
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,37 @@ def test_batch_features_vectorized_matches_reference():
             assert math.isclose(entropy[i], round(want, 6), abs_tol=1e-6)
         else:
             assert entropy[i] == 0.0
+
+
+def test_streaming_dedup_across_epochs(spark, tmp_path):
+    """Duplicate texts dropped across micro-batches: the same corpus lands
+    twice (two files, one epoch each); each distinct text is emitted once."""
+    from vcf2df_spark.blocks import TRANSCRIPT_SCHEMA
+
+    src = fixtures.transcripts_small(n_convs=40)
+    indir = tmp_path / "din"
+    indir.mkdir()
+    fixtures.write_parquet(src, str(indir / "a.parquet"))
+    dup = src.copy()
+    dup["conv_id"] = "re-" + dup["conv_id"]  # same texts, new conversations
+    fixtures.write_parquet(dup, str(indir / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q = (
+        streaming.streaming_dedup(stream)
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM dedup_out").toPandas()
+    n_distinct = src["text"].nunique()
+    assert len(got) == n_distinct            # one emission per distinct text
+    assert got["text_hash"].is_unique

@@ -518,8 +518,106 @@ def q_centroid_norms(spark, sf_dir):
     )
 
 
+# --- context packing (training-data batch assembly) ----------------------------
+# pack documents into fixed token budgets by exclusive prefix sum within a
+# shard (source): the standard pretraining "sequence packing" assignment.
+# Packing within source keeps the window partition-local — a single global
+# ordering would serialize on one task at corpus scale.
+
+_PACK_BUDGET = 2000  # tokens per pack
+
+
+def q_pack_documents(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    pack = F.floor(pre / _PACK_BUDGET).cast("long")
+    assigned = docs.select("source", pack.alias("pack_id"), n_tok.alias("n_tok"))
+    return assigned.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+# --- benchmark contamination sweep ----------------------------------------------
+# docs sharing any word-trigram shingle with a held-out "benchmark" slice
+# (doc_id % 97 == 0): exploded shingles equi-join (semi), never all-pairs.
+
+def _shingle_rows(docs):
+    ws = _words()
+    n = F.size(ws)
+    shingles = F.transform(
+        F.slice(ws, 1, F.greatest(n - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.get(ws, i + 1), F.get(ws, i + 2)),
+    )
+    return docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(shingles)).alias("sh")
+    )
+
+
+def q_contamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _shingle_rows(docs.filter(F.col("doc_id") % 97 != 0))
+    bench = (
+        _shingle_rows(docs.filter(F.col("doc_id") % 97 == 0))
+        .select("sh").distinct()
+    )
+    hits = corpus.join(bench, "sh", "left_semi").select("doc_id", "source").distinct()
+    return hits.groupBy("source").agg(F.count("*").alias("n_contaminated"))
+
+
+# --- near-dup cluster assignment (connected components) ---------------------------
+# iterative min-label propagation over the verified near-dup edges until
+# fixpoint: each cluster collapses to its minimum doc_id (the canonical
+# document). The loop is a DataFrame join per iteration — O(diameter)
+# rounds; near-dup graphs are shallow (pairs/triples), so 2-3 rounds.
+# The DuckDB oracle computes the same closure with WITH RECURSIVE.
+
+def q_dup_clusters(spark, sf_dir):
+    edges = q_near_dup_verdicts(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    und = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
+    for _ in range(20):
+        prop = (
+            und.join(labels, und.src == labels.doc_id)
+            .groupBy("dst").agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, labels.doc_id == prop.dst, "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "pack_documents": q_pack_documents,
+    "contamination": q_contamination,
+    "dup_clusters": q_dup_clusters,
     "shingles": q_shingles,
     "centroid_norms": q_centroid_norms,
     "near_dup_verdicts": q_near_dup_verdicts,
@@ -584,6 +682,26 @@ _NEAR_DUP_PAIR_UNION = "\n            UNION ALL ".join(
     _band_pairs(j) for j in range(_N_BANDS)
 )
 
+# shared CTE chain ending in verd(doc_a, doc_b, jaccard) — used by the
+# near_dup_verdicts oracle and as the edge source for dup_clusters
+_NEAR_DUP_CTE = f"""sigs AS (
+            SELECT doc_id, list_distinct({_SQL_WORDS}) AS ws, {_MINHASH_SELECT}
+            FROM documents
+        ),
+        {_NEAR_DUP_BAND_CTES}
+        , cands AS (
+            SELECT DISTINCT doc_a, doc_b, ws_a, ws_b
+            FROM ({_NEAR_DUP_PAIR_UNION})
+        ), verd AS (
+            SELECT doc_a, doc_b,
+                   round(
+                     len(list_filter(ws_a, w -> list_contains(ws_b, w)))::DOUBLE
+                     / (len(ws_a) + len(ws_b)
+                        - len(list_filter(ws_a, w -> list_contains(ws_b, w)))),
+                     4) AS jaccard
+            FROM cands
+        )"""
+
 # in-array simhash terms, mirroring the Spark F.aggregate formulation
 # (empty docs yield 0, matching Spark's aggregate-over-empty-array init)
 _SIMHASH_HASHES = (
@@ -627,24 +745,60 @@ ORACLES = {
         FROM per_dim GROUP BY label
     """,
     "near_dup_verdicts": f"""
-        WITH sigs AS (
-            SELECT doc_id, list_distinct({_SQL_WORDS}) AS ws, {_MINHASH_SELECT}
-            FROM documents
+        WITH {_NEAR_DUP_CTE}
+        SELECT doc_a, doc_b, jaccard FROM verd WHERE jaccard >= 0.7
+    """,
+    "dup_clusters": f"""
+        WITH RECURSIVE {_NEAR_DUP_CTE},
+        edges AS (SELECT doc_a, doc_b FROM verd WHERE jaccard >= 0.7),
+        und AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL
+            SELECT doc_b, doc_a FROM edges
         ),
-        {_NEAR_DUP_BAND_CTES}
-        , cands AS (
-            SELECT DISTINCT doc_a, doc_b, ws_a, ws_b
-            FROM ({_NEAR_DUP_PAIR_UNION})
+        reach(doc, root) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.dst, r.root FROM reach r JOIN und u ON u.src = r.doc
+        ),
+        final AS (SELECT doc, min(root) AS cluster FROM reach GROUP BY doc)
+        SELECT cluster AS cluster_id, count(*) AS n_docs
+        FROM final GROUP BY cluster
+    """,
+    "pack_documents": f"""
+        WITH t AS (
+            SELECT source, doc_id, len({_SQL_WORDS}) AS n_tok FROM documents
+        ), assigned AS (
+            SELECT source, n_tok,
+                   CAST(floor(coalesce(sum(n_tok) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+            FROM t
         )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT doc_a, doc_b,
-                   round(
-                     len(list_filter(ws_a, w -> list_contains(ws_b, w)))::DOUBLE
-                     / (len(ws_a) + len(ws_b)
-                        - len(list_filter(ws_a, w -> list_contains(ws_b, w)))),
-                     4) AS jaccard
-            FROM cands
-        ) WHERE jaccard >= 0.7
+        SELECT source, pack_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM assigned GROUP BY source, pack_id
+    """,
+    "contamination": f"""
+        WITH w AS (
+            SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+        ), idx AS (
+            SELECT doc_id, source, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+            FROM w
+        ), sh AS (
+            SELECT DISTINCT doc_id, source,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            FROM idx
+        ), bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+        ), hits AS (
+            SELECT DISTINCT s.doc_id, s.source
+            FROM sh s JOIN bench b ON s.sh = b.sh
+            WHERE s.doc_id % 97 <> 0
+        )
+        SELECT source, count(*) AS n_contaminated FROM hits GROUP BY source
     """,
     "ivf_probe": """
         WITH b AS (

@@ -127,6 +127,46 @@ def conversation_state(stream: DataFrame):
     )
 
 
+def streaming_dedup(stream: DataFrame):
+    """Custom stateful streaming operator: exact-dedup across micro-batches.
+
+    ``applyInPandasWithState`` keyed by the content hash keeps one bit of
+    state per distinct text ever seen; only the FIRST occurrence of each
+    hash (within and across epochs) is emitted — the streaming twin of the
+    batch ``dedup_exact`` hash-groupBy, and the standard ingestion guard in
+    a training-data pipeline. State is O(distinct contents); production
+    would add a state TTL watermark for unbounded streams.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, turn_idx long, text_hash string"
+    state_schema = "seen long"
+
+    def dedup(key, pdfs, state: GroupState):
+        first = None
+        n_before = state.get[0] if state.exists else 0
+        n = n_before
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[0]
+            n += len(pdf)
+        state.update((n,))
+        if n_before == 0 and first is not None:
+            yield pd.DataFrame(
+                [{"conv_id": first["conv_id"],
+                  "turn_idx": int(first["turn_idx"]),
+                  "text_hash": key[0]}]
+            )
+
+    keyed = stream.withColumn("text_hash", F.md5("text"))
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        dedup, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def turn_rate_windows(stream: DataFrame, window: str = "1 hour",
                       watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window turn counts per role (late data dropped
