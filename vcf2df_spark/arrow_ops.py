@@ -76,16 +76,33 @@ def _unpack_lengths(aux: bytes, meta: dict, n: int) -> np.ndarray:
     return bitpack.unpack_u64(aux, meta["lwidth"], n).astype(np.int64) + meta["lmin"]
 
 
+_ZSTDHI_TRIAL_BYTES = 1 << 18
+
+
+def _zstdhi_sample_wins(buf: bytes) -> bool:
+    """Level-12 trial on a bounded prefix vs the sink's default zstd.
+
+    The full-buffer level-12 encode is the single most expensive candidate
+    (~0.5 s per 64k-row text chunk); on corpora where it loses (most) that
+    cost bought nothing. Compression ratios on a 256KB prefix track the
+    full buffer closely, so the trial keeps the win and drops the cost.
+    """
+    sample = buf[:_ZSTDHI_TRIAL_BYTES]
+    hi = len(zstdhi._CODEC.compress(sample))
+    return hi < _disk_proxy(sample, b"")
+
+
 def encode_string_column(
-    arr: pa.Array, fsst_hint: bool | None = None
+    arr: pa.Array, fsst_hint: bool | None = None,
+    zstdhi_hint: bool | None = None,
 ) -> tuple[str, bytes, bytes, dict, int]:
     """Measured candidate selection over Arrow buffers (see planner).
 
-    ``fsst_hint`` short-circuits the FSST sample trial: the encode group
-    runs many chunks of the same column whose text statistics barely move,
-    so the first chunk's verdict is reused for the rest of the group
-    (per-group cache in encode.py) — the trial dominates per-chunk cost
-    otherwise.
+    ``fsst_hint`` / ``zstdhi_hint`` short-circuit the sample trials: the
+    encode group runs many chunks of the same column whose text statistics
+    barely move, so the first chunk's verdicts are reused for the rest of
+    the group (per-group cache in encode.py) — the trials dominate
+    per-chunk cost otherwise. The raw floor keeps a stale verdict safe.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -144,10 +161,15 @@ def encode_string_column(
         # which a pre-compressed blob forfeits — measured as a net disk
         # loss for small chunks despite the per-blob proxy predicting a win.
         if len(buf) >= (1 << 20):
-            payload, zaux, zmeta = zstdhi.encode_from_buf(buf, lengths)
-            size = _disk_proxy(payload, zaux)
-            if size < best_size:
-                best, best_size = ("zstdhi", payload, zaux, zmeta), size
+            zstdhi_wins = (
+                zstdhi_hint if zstdhi_hint is not None
+                else _zstdhi_sample_wins(buf)
+            )
+            if zstdhi_wins:
+                payload, zaux, zmeta = zstdhi.encode_from_buf(buf, lengths)
+                size = _disk_proxy(payload, zaux)
+                if size < best_size:
+                    best, best_size = ("zstdhi", payload, zaux, zmeta), size
         fsst_wins = (
             fsst_hint if fsst_hint is not None
             else planner.fsst_sample_wins_buf(buf, lengths)
