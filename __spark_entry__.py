@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("tool"),
         F.col("ts"),
+        # dynamic extras (reference M1): typed columns beyond the core six
+        F.coalesce("value", F.lit(0.0)).alias("score"),           # float64
+        F.coalesce(F.col("value") > 250, F.lit(False)).alias("flagged"),
     )
     blocks = encode_transcripts(transcripts, num_partitions=8)
     return (
