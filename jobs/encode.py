@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
     p.add_argument("--fail-after", type=int, default=None,
                    help="encode only the first K pending partitions, then exit(3)")
+    p.add_argument("--persist", choices=["memory_and_disk", "disk_only"],
+                   default="memory_and_disk",
+                   help="storage level for the encoded blocks between the "
+                        "stats pass and the writes; disk_only avoids "
+                        "evicting executor memory when blocks-per-executor "
+                        "exceed RAM at large scale")
     p.add_argument("--on-duplicates", choices=["fail", "quarantine", "ignore"],
                    default="fail",
                    help="input invariant: (conv_id, turn_idx) must be unique. "
@@ -102,8 +108,12 @@ def main(argv: list[str] | None = None) -> None:
         pending = pending.join(F.broadcast(keep), "_pkey", "inner")
         truncated = True
 
+    from pyspark import StorageLevel
+
+    level = (StorageLevel.DISK_ONLY if args.persist == "disk_only"
+             else StorageLevel.MEMORY_AND_DISK)
     detect = args.on_duplicates == "fail"
-    blocks = encode_keyed(pending, detect_dups=detect).cache()
+    blocks = encode_keyed(pending, detect_dups=detect).persist(level)
 
     n_blocks = blocks.count()
     if n_blocks == 0:
