@@ -70,8 +70,10 @@ def main(argv: list[str] | None = None) -> None:
         pass  # no manifests table (e.g. bench warehouse) -> skip
 
     if args.deep:
-        # exact: exceptAll in both directions is empty (all shared columns,
-        # dynamic extras included; timestamps compared as unix_micros)
+        # exact: column SETS must match (a warehouse missing a whole column
+        # must not verify), then exceptAll in both directions is empty
+        # (timestamps compared as unix_micros)
+        cols_equal = set(decoded.columns) == set(source.columns)
         common = sorted(set(decoded.columns) & set(source.columns))
 
         def canon(df):
@@ -91,7 +93,8 @@ def main(argv: list[str] | None = None) -> None:
         extra = d.exceptAll(s).count()
         n_src = s.count()
         n_dec = d.count()
-        rows_equal = missing == 0 and extra == 0 and n_src == n_dec
+        rows_equal = (cols_equal and missing == 0 and extra == 0
+                      and n_src == n_dec)
     else:
         from vcf2df_spark.verify import multiset_equal
 

@@ -39,7 +39,8 @@ def main(argv: list[str] | None = None) -> None:
     register_transcript_view(spark, args.warehouse, args.view_name)
     out = spark.sql(args.sql)
     rows = out.limit(args.limit).collect()
-    n = out.count()
+    # only pay a second decode pass for the total when the limit truncated
+    n = len(rows) if len(rows) < args.limit else out.count()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
     print(json.dumps({"status": "ok", "rows": n,

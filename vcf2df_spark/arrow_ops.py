@@ -93,17 +93,20 @@ def _zstdhi_sample_wins(buf: bytes) -> bool:
 
 
 def encode_string_column(
-    arr: pa.Array, fsst_hint: bool | None = None,
-    zstdhi_hint: bool | None = None,
+    arr: pa.Array, hints: dict | None = None,
 ) -> tuple[str, bytes, bytes, dict, int]:
     """Measured candidate selection over Arrow buffers (see planner).
 
-    ``fsst_hint`` / ``zstdhi_hint`` short-circuit the sample trials: the
-    encode group runs many chunks of the same column whose text statistics
-    barely move, so the first chunk's verdicts are reused for the rest of
-    the group (per-group cache in encode.py) — the trials dominate
-    per-chunk cost otherwise. The raw floor keeps a stale verdict safe.
+    ``hints`` is a mutable per-column dict carrying the FSST / zstdhi
+    sample-trial verdicts across the chunks of one encode group (the text
+    statistics barely move within a group, and the trials dominate
+    per-chunk cost otherwise). A verdict is recorded ONLY when its trial
+    actually ran — a chunk that never reached a candidate's gate must not
+    disable that candidate for later chunks. The raw floor keeps a stale
+    verdict safe.
     """
+    if hints is None:
+        hints = {}
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -161,20 +164,16 @@ def encode_string_column(
         # which a pre-compressed blob forfeits — measured as a net disk
         # loss for small chunks despite the per-blob proxy predicting a win.
         if len(buf) >= (1 << 20):
-            zstdhi_wins = (
-                zstdhi_hint if zstdhi_hint is not None
-                else _zstdhi_sample_wins(buf)
-            )
-            if zstdhi_wins:
+            if "zstdhi" not in hints:
+                hints["zstdhi"] = _zstdhi_sample_wins(buf)
+            if hints["zstdhi"]:
                 payload, zaux, zmeta = zstdhi.encode_from_buf(buf, lengths)
                 size = _disk_proxy(payload, zaux)
                 if size < best_size:
                     best, best_size = ("zstdhi", payload, zaux, zmeta), size
-        fsst_wins = (
-            fsst_hint if fsst_hint is not None
-            else planner.fsst_sample_wins_buf(buf, lengths)
-        )
-        if fsst_wins:
+        if "fsst" not in hints:
+            hints["fsst"] = planner.fsst_sample_wins_buf(buf, lengths)
+        if hints["fsst"]:
             symbols = fsst.train(buf)
             segs = [
                 fsst.encode_buffer(buf[i : i + fsst.SEGMENT_BYTES], symbols)

@@ -114,37 +114,24 @@ def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
         "ts": T.TimestampType(), "f64": T.DoubleType(), "bool": T.BooleanType(),
     }
     # every chunk carries one block per column, so ONE chunk's metadata is
-    # the full schema. Blocks of a chunk are written contiguously, so in a
-    # CollectLimit sample every (partition, chunk) group except the last
-    # (possibly truncated by the limit) is complete — one short-circuited
-    # scan in the common case, a filtered point-read only as fallback.
-    sample = (
-        blocks.select(
-            "partition_id", "chunk_idx", "column",
-            F.get_json_object("meta", "$.ctype").alias("ctype"),
-        )
-        .limit(4096)
-        .collect()
-    )
+    # the full schema: locate any chunk key (CollectLimit short-circuits),
+    # then point-read exactly that chunk's (column, ctype) rows with pushed
+    # filters. Two tiny driver jobs — NOT a "first group in a row sample"
+    # shortcut: Spark packs scan splits largest-first, so physical row
+    # order can start mid-group and a sampled group may be incomplete.
+    head = blocks.select("partition_id", "chunk_idx").limit(1).collect()
     rows = []
-    if sample:
-        first_key = (sample[0]["partition_id"], sample[0]["chunk_idx"])
-        last_key = (sample[-1]["partition_id"], sample[-1]["chunk_idx"])
-        if first_key != last_key:  # first group is complete
-            rows = [r for r in sample
-                    if (r["partition_id"], r["chunk_idx"]) == first_key]
-        else:  # one giant group: point-read it exactly (pushed filters)
-            rows = (
-                blocks.filter(
-                    (F.col("partition_id") == first_key[0])
-                    & (F.col("chunk_idx") == first_key[1])
-                )
-                .select(
-                    "column",
-                    F.get_json_object("meta", "$.ctype").alias("ctype"),
-                )
-                .collect()
+    if head:
+        pid, cid = head[0]["partition_id"], head[0]["chunk_idx"]
+        rows = (
+            blocks.filter(
+                (F.col("partition_id") == pid) & (F.col("chunk_idx") == cid)
             )
+            .select(
+                "column", F.get_json_object("meta", "$.ctype").alias("ctype")
+            )
+            .collect()
+        )
     ctypes = {
         r["column"]: (r["ctype"] or _CORE_CTYPES.get(r["column"], "str"))
         for r in rows

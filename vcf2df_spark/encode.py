@@ -87,19 +87,9 @@ def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int,
         smin_num = smax_num = None
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             ctype = "str"
-            hints = cache.setdefault(col, {})
             codec, payload, aux, meta, raw_bytes = arrow_ops.encode_string_column(
-                arr, fsst_hint=hints.get("fsst"),
-                zstdhi_hint=hints.get("zstdhi"),
+                arr, hints=cache.setdefault(col, {})
             )
-            if codec == "fsst":
-                hints["fsst"] = True
-            elif codec == "raw":
-                hints["fsst"] = False
-            if codec == "zstdhi":
-                hints["zstdhi"] = True
-            else:
-                hints.setdefault("zstdhi", False)
             if col == "conv_id" and n:  # chunk is sorted by (conv_id, turn_idx)
                 smin_str = arr[0].as_py()
                 smax_str = arr[n - 1].as_py()

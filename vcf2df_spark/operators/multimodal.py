@@ -99,14 +99,29 @@ def _batch_features(payload: pa.Array) -> tuple[np.ndarray, np.ndarray, list[str
     n = len(lengths)
     if n == 0:
         return lengths, np.zeros(0), []
-    seg_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
-    counts = np.bincount(
-        seg_id * 256 + data.astype(np.int64), minlength=n * 256
-    ).reshape(n, 256)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p = counts / np.maximum(lengths, 1)[:, None]
-        terms = np.where(counts > 0, p * np.log2(p), 0.0)
-    entropy = np.round(-terms.sum(axis=1), 6)
+    # segmented histogram in bounded sub-batches: the int64 key array is a
+    # ~16x transient over the payload bytes, so cap each slice at ~8MB of
+    # payload — memory stays O(cap), not O(batch payload)
+    _SLICE_BYTES = 1 << 23
+    entropy = np.zeros(n, dtype=np.float64)
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        while hi < n and offsets[hi + 1] - offsets[lo] <= _SLICE_BYTES:
+            hi += 1
+        k = hi - lo
+        seg = np.repeat(np.arange(k, dtype=np.int64),
+                        lengths[lo:hi])
+        chunk = data[offsets[lo] : offsets[hi]]
+        counts = np.bincount(
+            seg * 256 + chunk.astype(np.int64), minlength=k * 256
+        ).reshape(k, 256)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = counts / np.maximum(lengths[lo:hi], 1)[:, None]
+            terms = np.where(counts > 0, p * np.log2(p), 0.0)
+        entropy[lo:hi] = -terms.sum(axis=1)
+        lo = hi
+    entropy = np.round(entropy, 6)
     entropy[lengths == 0] = 0.0
     starts = offsets[:-1]
     take = np.minimum(lengths, 8)

@@ -135,11 +135,19 @@ def q_jaccard_pairs(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    hashes = F.array_distinct(F.transform(_words(), lambda w: _word_hash(w)))
+    # project the hash array ONCE: higher-order functions are codegen
+    # fallbacks, so CSE does not collapse repeated copies — inlining the
+    # expression into all 16 aggregates re-tokenizes and re-hashes 16x
+    hashed = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(_words(), lambda w: _word_hash(w))
+        ).alias("hs"),
+    )
 
     def bitsum(b: int):
         return F.aggregate(
-            hashes,
+            F.col("hs"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
@@ -149,7 +157,7 @@ def q_simhash(spark, sf_dir):
     for b in range(16):
         term = F.when(bitsum(b) > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return docs.select("doc_id", sim.cast("long").alias("simhash16"))
+    return hashed.select("doc_id", sim.cast("long").alias("simhash16"))
 
 
 # --- token counting -----------------------------------------------------------
@@ -586,6 +594,7 @@ def q_dup_clusters(spark, sf_dir):
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).cache()
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
+    converged = False
     for _ in range(20):
         prop = (
             und.join(labels, und.src == labels.doc_id)
@@ -606,8 +615,12 @@ def q_dup_clusters(spark, sf_dir):
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:  # never return silently-wrong clusters
+        raise RuntimeError("dup_clusters: label propagation did not "
+                           "converge within 20 rounds (graph diameter > 20)")
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count("*").alias("n_docs")
     )

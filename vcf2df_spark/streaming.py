@@ -44,6 +44,11 @@ def incremental_encode(
     Each epoch writes to its own ``epoch=N`` directory with overwrite, so a
     foreachBatch retry of the same epoch replaces its output instead of
     appending duplicates (exactly-once at the epoch level).
+
+    Layout note: Spark's partition discovery rejects mixed flat-file +
+    ``epoch=N`` layouts — a warehouse written by the pre-epoch flat-append
+    code cannot be extended in place; start a fresh warehouse (or move the
+    old files under an ``epoch=-1`` directory) before resuming.
     """
     from . import manifest
 
