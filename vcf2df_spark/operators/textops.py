@@ -82,6 +82,9 @@ def q_minhash_signature(spark, sf_dir):
 
 
 # --- LSH candidate pairs (band = mh0) ----------------------------------------
+# ORACLE DEMO of the single-band join step. The production pipeline is
+# q_near_dup_verdicts: multi-band with a hot-band cap, so one degenerate
+# bucket cannot produce O(bucket^2) candidate pairs.
 
 def q_lsh_candidate_pairs(spark, sf_dir):
     sigs = q_minhash_signature(spark, sf_dir).select("doc_id", "mh0")
