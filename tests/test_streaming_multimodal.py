@@ -185,3 +185,29 @@ def test_streaming_dedup_across_epochs(spark, tmp_path):
     n_distinct = src["text"].nunique()
     assert len(got) == n_distinct            # one emission per distinct text
     assert got["text_hash"].is_unique
+
+
+def test_incremental_encode_dynamic_schema(spark, tmp_path):
+    """Streaming encode of a table with extra typed columns round-trips."""
+    src = fixtures.transcripts_extended(n_convs=60)
+    indir = tmp_path / "ein"
+    indir.mkdir()
+    fixtures.write_parquet(src, str(indir / "a.parquet"))
+
+    wh = str(tmp_path / "ewh")
+    schema = spark.read.parquet(str(indir / "a.parquet")).schema
+    q = streaming.incremental_encode(
+        spark, str(indir), wh, checkpoint=str(tmp_path / "eck"), schema=schema
+    )
+    q.awaitTermination(120)
+
+    decoded = decode_blocks(spark.read.parquet(f"{wh}/blocks")).toPandas()
+    assert len(decoded) == len(src)
+    assert {"score", "flagged", "model", "tokens_out"} <= set(decoded.columns)
+    l = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    r = decoded.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert np.array_equal(
+        l["score"].to_numpy().view(np.int64),
+        r["score"].to_numpy().view(np.int64),
+    )
+    assert (l["model"].to_numpy() == r["model"].to_numpy()).all()

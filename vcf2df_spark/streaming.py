@@ -30,6 +30,7 @@ def incremental_encode(
     num_partitions: int = 8,
     job_id: str = "stream",
     max_files_per_trigger: int = 4,
+    schema=None,
 ):
     """Encode new parquet files as they arrive; returns the StreamingQuery.
 
@@ -52,8 +53,10 @@ def incremental_encode(
     """
     from . import manifest
 
+    # readStream needs a declared schema; pass one to stream tables with
+    # dynamic extra columns (encode handles them like the batch path)
     stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        spark.readStream.schema(schema or TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
