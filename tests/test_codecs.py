@@ -270,3 +270,29 @@ def test_boolpack_is_one_bit_per_value():
     vals = np.ones(8000, dtype=bool)
     payload, aux, _ = codecs.encode("boolpack", vals)
     assert len(payload) == 1000 and not aux
+
+
+# --- zstdhi segmented frames: round-trip + random access ------------------------
+
+
+def test_zstdhi_multiframe_roundtrip_and_range():
+    from vcf2df_spark import arrow_ops
+    from vcf2df_spark.codecs import zstdhi
+
+    rng = np.random.default_rng(5)
+    # > 2 segments of utf8
+    vals = np.array(
+        ["row-%06d " % i + "x" * int(rng.integers(20, 120)) for i in range(40000)],
+        dtype=object,
+    )
+    payload, aux, meta = codecs.encode("zstdhi", vals)
+    assert len(meta["seg_code_lens"]) >= 3  # actually multi-frame
+    out = codecs.decode("zstdhi", payload, aux, meta, len(vals))
+    assert np.array_equal(vals, out)
+
+    # random access decodes only covering frames, matches the full decode
+    for lo, hi in ((0, 5), (17000, 17040), (39990, 40000), (100, 100)):
+        got = arrow_ops.decode_string_rows(
+            "zstdhi", payload, aux, meta, len(vals), lo, hi
+        ).to_pylist()
+        assert got == list(vals[lo:hi]), (lo, hi)

@@ -235,22 +235,22 @@ def decode_string_rows(codec: str, payload: bytes, aux: bytes, meta: dict,
                        n: int, row_lo: int, row_hi: int) -> pa.Array:
     """Random access: decode only rows [row_lo, row_hi) of a string block.
 
-    raw: direct payload slice. fsst: decode only the covering 256KB
-    segments (codecs/fsst.decode_byte_range). Other codecs decode fully
-    (their blocks are small) and slice.
+    raw: direct payload slice. fsst / zstdhi: decode only the covering
+    segments (their decode_byte_range). Other codecs decode fully (their
+    blocks are small) and slice.
     """
     row_lo, row_hi = max(0, row_lo), min(n, row_hi)
     if row_hi <= row_lo:
         return pa.array([], type=pa.string())
-    if codec in ("raw", "fsst"):
-        if codec == "raw":
-            lengths = _unpack_lengths(aux, meta, n)
-            body = payload
-            base = 0
-        else:
+    if codec in ("raw", "fsst", "zstdhi"):
+        if codec == "fsst":
             tb = meta["table_bytes"]
             symbols = strutil.unpack_str_list(aux[:tb])
             lengths = _unpack_lengths(aux[tb:], meta, n)
+        else:
+            lengths = _unpack_lengths(aux, meta, n)
+            body = payload
+            base = 0
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offs[1:])
         lo_b, hi_b = int(offs[row_lo]), int(offs[row_hi])
@@ -258,6 +258,8 @@ def decode_string_rows(codec: str, payload: bytes, aux: bytes, meta: dict,
             body, base = fsst.decode_byte_range(
                 payload, symbols, meta["seg_code_lens"], lo_b, hi_b
             )
+        elif codec == "zstdhi":
+            body, base = zstdhi.decode_byte_range(payload, meta, lo_b, hi_b)
         return strings_from_buf(
             body[lo_b - base : hi_b - base], lengths[row_lo:row_hi]
         )
