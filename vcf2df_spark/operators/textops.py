@@ -629,11 +629,45 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
+# --- rarity-weighted top terms per source (TF-IDF-shaped ranking) ---------------
+# tf = docs-in-source containing the term; rarity = n_sources - df + 1
+# (an integer idf surrogate: float ln() can differ between engines in the
+# last ulp, integers cannot). Exploded equi-joins + one windowed top-k.
+
+def q_top_terms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(_words())).alias("w")
+    )
+    tf = dw.groupBy("source", "w").agg(F.countDistinct("doc_id").alias("tf"))
+    dfreq = dw.groupBy("w").agg(F.countDistinct("source").alias("df"))
+    nsrc = docs.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(nsrc))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("n_sources") - F.col("df") + 1)).cast("long"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), F.asc("w"))
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .filter(F.col("rank") <= 5)
+        .select("source", F.col("w").alias("term"), "tf", "df", "score", "rank")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "pack_documents": q_pack_documents,
     "contamination": q_contamination,
     "dup_clusters": q_dup_clusters,
+    "top_terms": q_top_terms,
     "shingles": q_shingles,
     "centroid_norms": q_centroid_norms,
     "near_dup_verdicts": q_near_dup_verdicts,
@@ -795,6 +829,29 @@ ORACLES = {
         SELECT source, pack_id, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS total_tokens
         FROM assigned GROUP BY source, pack_id
+    """,
+    "top_terms": f"""
+        WITH dw AS (
+            SELECT DISTINCT doc_id, source,
+                   unnest(list_distinct({_SQL_WORDS})) AS w
+            FROM documents
+        ), tf AS (
+            SELECT source, w, count(DISTINCT doc_id) AS tf
+            FROM dw GROUP BY source, w
+        ), dfreq AS (
+            SELECT w, count(DISTINCT source) AS df FROM dw GROUP BY w
+        ), nsrc AS (
+            SELECT count(DISTINCT source) AS n_sources FROM documents
+        ), scored AS (
+            SELECT source, w, tf, df,
+                   CAST(tf * (n_sources - df + 1) AS BIGINT) AS score
+            FROM tf JOIN dfreq USING (w) CROSS JOIN nsrc
+        )
+        SELECT source, w AS term, tf, df, score, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY score DESC, w ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
     """,
     "contamination": f"""
         WITH w AS (
