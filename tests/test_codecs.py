@@ -296,3 +296,31 @@ def test_zstdhi_multiframe_roundtrip_and_range():
             "zstdhi", payload, aux, meta, len(vals), lo, hi
         ).to_pylist()
         assert got == list(vals[lo:hi]), (lo, hi)
+
+
+def test_zstdhi_legacy_single_frame_range():
+    """Pre-framing blocks (meta without seg_code_lens) must random-access
+    correctly past the 1MB boundary: the legacy buffer is based at byte 0,
+    not at a frame index (regression: shifted slice returned wrong rows)."""
+    from vcf2df_spark import arrow_ops
+    from vcf2df_spark.codecs import zstdhi
+    from vcf2df_spark.codecs import bitpack, strutil
+
+    vals = np.array(["row-%06d-" % i + "y" * 60 for i in range(30000)],
+                    dtype=object)
+    buf, lengths = strutil.strings_to_bytes_and_lengths(vals)
+    # legacy layout: one frame over the whole buffer, no seg_code_lens
+    payload = bytes(zstdhi._CODEC.compress(buf))
+    lmin = int(lengths.min())
+    lwidth = bitpack._bit_width(int(lengths.max()) - lmin)
+    aux = bitpack.pack_u64((lengths - lmin).astype(np.uint64), lwidth)
+    meta = {"lwidth": lwidth, "lmin": lmin, "raw_len": len(buf),
+            "level": zstdhi.LEVEL}
+
+    assert np.array_equal(codecs.decode("zstdhi", payload, aux, meta,
+                                        len(vals)), vals)
+    for lo, hi in ((0, 3), (20000, 20005), (29995, 30000)):
+        got = arrow_ops.decode_string_rows(
+            "zstdhi", payload, aux, meta, len(vals), lo, hi
+        ).to_pylist()
+        assert got == list(vals[lo:hi]), (lo, hi)

@@ -31,8 +31,9 @@ _DECODEC = pa.Codec("zstd")
 
 
 def encode_from_buf(buf: bytes, lengths: np.ndarray) -> tuple[bytes, bytes, dict]:
+    view = memoryview(buf)  # zero-copy segment slices into the compressor
     frames = [
-        bytes(_CODEC.compress(buf[i : i + SEGMENT_BYTES]))
+        bytes(_CODEC.compress(view[i : i + SEGMENT_BYTES]))
         for i in range(0, len(buf), SEGMENT_BYTES)
     ]
     payload = b"".join(frames)
@@ -76,8 +77,12 @@ def decode_byte_range(payload: bytes, meta: dict, lo_b: int,
     """
     if not payload or hi_b <= lo_b:
         return b"", 0
+    if meta.get("seg_code_lens") is None:
+        # legacy single-frame block: the whole buffer, based at byte 0 —
+        # a frame-index base would shift the caller's slice
+        return decode_frames(payload, meta, 0, 1), 0
     lo_f = lo_b // SEGMENT_BYTES
-    hi_f = (max(hi_b, lo_b + 1) - 1) // SEGMENT_BYTES + 1
+    hi_f = (hi_b - 1) // SEGMENT_BYTES + 1  # hi_b > lo_b >= 0 by the guard
     return decode_frames(payload, meta, lo_f, hi_f), lo_f * SEGMENT_BYTES
 
 
