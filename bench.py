@@ -211,6 +211,12 @@ def main() -> None:
         "rows": r["rows"],
         "turns_per_sec_encode": r["turns_per_sec_encode"],
         "encode_runs_sec": r["encode_runs_sec"],
+        # north-rule size gate: our blocks on disk vs the SAME table as
+        # zstd parquet (the input fixture is exactly that baseline)
+        "baseline_zstd_parquet_bytes": os.path.getsize(input_path),
+        "disk_vs_baseline": round(
+            r["disk_bytes"] / os.path.getsize(input_path), 4
+        ),
         "compression_ratio_raw": round(r["raw_bytes"] / max(r["enc_bytes"], 1), 3),
         "disk_bytes": r["disk_bytes"],
         "bit_identical": ok,
