@@ -54,6 +54,23 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# queries with no driver-correctness row through round 2 (CORRECTNESS_r01/02
+# rotated a 50-query window over a 64-entry registry). The registry is now
+# curated to <=50 entries so every query gets a row; these lead the dict so
+# they land first even if the window is order-sensitive.
+_PRIORITY = [
+    "dynamic_roundtrip", "multimodal_meta", "embedding_near_dup",
+    "ann_buckets", "cosine_topk", "kmv_distinct", "fingerprint",
+    "hash_sample", "quality_filter", "token_histogram",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    head = {k: merged[k] for k in _PRIORITY if k in merged}
+    head.update(merged)
+    return head
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vcf2df_spark.operators import engineops, relational, textops
 
@@ -61,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
     out.update(engineops.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -71,4 +88,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLES)
     out.update(textops.ORACLES)
     out.update(engineops.ORACLES)
-    return out
+    return _ordered(out)

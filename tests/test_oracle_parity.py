@@ -49,13 +49,37 @@ def _kinds(df: pd.DataFrame) -> dict:
     return {c: fam.get(df[c].dtype.kind, "other") for c in df.columns}
 
 
-QUERY_NAMES = sorted(entry_mod.queries())
+def _all_queries():
+    """Registered queries plus the unregistered all-pairs demos — the demos
+    stay parity-tested here even though the driver no longer sees them."""
+    from vcf2df_spark.operators import textops
+
+    out = dict(entry_mod.queries())
+    out.update(textops.DEMO_QUERIES)
+    return out
+
+
+def _all_oracles():
+    from vcf2df_spark.operators import textops
+
+    out = dict(entry_mod.oracle_sql())
+    out.update(textops.DEMO_ORACLES)
+    return out
+
+
+QUERY_NAMES = sorted(_all_queries())
+
+
+def test_registry_fits_driver_window():
+    # the driver checks at most 50 queries per round; a larger registry
+    # leaves some operators without correctness evidence (round-2 verdict)
+    assert len(entry_mod.queries()) <= 50
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql().get(name)
+    q = _all_queries()[name]
+    sql = _all_oracles().get(name)
     got = q(spark, SF_DIR).toPandas()
     assert sql is not None, f"{name} has no oracle"
     want = duck.execute(sql).df()
@@ -65,6 +89,22 @@ def test_query_matches_oracle(spark, duck, name):
     assert _kinds(g) == _kinds(w), f"{name}: dtype families {_kinds(g)} vs {_kinds(w)} (DuckDB HUGEINT? add CAST(... AS BIGINT))"
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False,
                                   rtol=0, atol=1e-9, obj=name)
+
+
+def test_kmv_estimate_accuracy(spark, duck):
+    # the registered kmv_distinct is combiner-only (no full-corpus
+    # countDistinct — round-2 verdict #5); ground truth lives here instead
+    got = _all_queries()["kmv_distinct"](spark, SF_DIR).collect()[0]
+    exact = duck.execute(
+        """
+        SELECT count(DISTINCT cast(concat('0x', substr(md5(w), 1, 14)) as bigint))
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+              FROM documents)
+        """
+    ).fetchone()[0]
+    est = got["ndv_estimate"]
+    # K=64 KMV: relative stderr ~ 1/sqrt(K-1) ~ 12.7%; deterministic fixture
+    assert exact * 0.6 <= est <= exact * 1.5, (est, exact)
 
 
 def test_entry_smoke(spark):

@@ -39,16 +39,10 @@ def q_agg_pricing(spark, sf_dir):
     )
 
 
-# --- derived-key projection (P3: VARIANTKEY concat, formatOutput.go:21) ----
-
-def q_derived_key(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.concat_ws(
-            "-", F.col("o_orderstatus"), F.col("o_orderpriority"), F.col("o_orderkey")
-        ).alias("order_key"),
-    )
+# (P3 derived-key projection — the VARIANTKEY concat, formatOutput.go:21 —
+# is exercised by the line_key column of q_type_narrowing below; it was a
+# standalone query through round 2, merged to fit the driver's 50-query
+# correctness window.)
 
 
 # --- filter with pushdown (F1: early-exit predicate, parseVariant.go:20) ---
@@ -107,17 +101,11 @@ def q_impute(spark, sf_dir):
     )
 
 
-# --- array -> string encode (P6: comma-joined arrays, formatOutput.go:60) --
-
-def q_array_encode(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.array_join(F.slice(F.split("text", " "), 1, 3), ",").alias("head3"),
-    )
+# (array->string encode — P6 comma-joined arrays — lives in the head3
+# column of q_doc_transforms below, merged with normalize_text.)
 
 
-# --- type narrowing (P5: float->int, upper, formatOutput.go:23-36) ---------
+# --- type narrowing + derived key (P5 + P3, formatOutput.go:21-36) ---------
 
 def q_type_narrowing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -127,12 +115,18 @@ def q_type_narrowing(spark, sf_dir):
         F.floor("l_extendedprice").cast("long").alias("price_int"),
         F.upper("l_returnflag").alias("flag"),
         (F.col("l_linenumber") + 1).cast("int").alias("linenumber_1based"),
+        # P3: synthetic primary key, the VARIANTKEY CHR-POS-REF-ALT analogue
+        F.concat_ws(
+            "-", F.upper("l_returnflag"), F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("line_key"),
     )
 
 
-# --- window functions (§2.2: run detection for RLE stats) ------------------
+# --- per-user profile: lag-window run detection + conditional pivot --------
+# merges round-2's window_runs (RLE-stats run counting via lag) and
+# pivot_conditional (per-type conditional sums) into one per-user pass
 
-def q_window_runs(spark, sf_dir):
+def q_user_profile(spark, sf_dir):
     from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -145,9 +139,14 @@ def q_window_runs(spark, sf_dir):
             1,
         ).otherwise(0),
     )
+    pivots = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
     return runs.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum("is_new_run").alias("n_runs"),
+        *pivots,
     )
 
 
@@ -168,27 +167,26 @@ def q_join_broadcast(spark, sf_dir):
     )
 
 
-# --- anti join (§2.2: the resume commit-log pattern) ------------------------
+# --- semi + anti join (§2.2: the resume commit-log pattern) -----------------
+# one query, both join types: semi = customers with orders, anti = without
+# (the exact shape of manifest.resume_filter's committed-partition anti-join)
 
-def q_anti_join(spark, sf_dir):
+def q_semi_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_mktsegment")
-    )
-
-
-# --- semi join ---------------------------------------------------------------
-
-def q_semi_join(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
+    semi = (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("semi").alias("side"), "c_mktsegment", "n_customers")
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("anti").alias("side"), "c_mktsegment", "n_customers")
+    )
+    return semi.unionByName(anti)
 
 
 # --- sort / top-k (§2.2: skew diagnostics shape) -----------------------------
@@ -202,40 +200,24 @@ def q_topk(spark, sf_dir):
     )
 
 
-# --- set ops (§2.2: unionByName/distinct) ------------------------------------
+# --- set ops (§2.2: union/intersect/except in one tagged query) -------------
 
-def q_set_union(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.unionByName(s).distinct()
-
-
-def q_set_intersect(spark, sf_dir):
+def q_set_ops(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-def q_set_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.distinct().subtract(s.distinct())  # set EXCEPT (not exceptAll)
-
-
-# --- regexp extraction (P2 text-field extraction analogue) ---------------------
-
-def q_regexp_extract(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'"k": (\d+)', 1)
+    union = c.unionByName(s).distinct()
+    inter = c.intersect(s)
+    exc = c.distinct().subtract(s.distinct())  # set EXCEPT (not exceptAll)
     return (
-        ev.select(F.when(k == "", None).otherwise(k).cast("int").alias("k_val"))
-        .groupBy((F.col("k_val") % 10).alias("k_mod10"))
-        .agg(F.count("*").alias("n"))
+        union.select(F.lit("union").alias("op"), "nationkey")
+        .unionByName(inter.select(F.lit("intersect").alias("op"), "nationkey"))
+        .unionByName(exc.select(F.lit("except").alias("op"), "nationkey"))
     )
+
+
+# (regexp_extract — P2 text-field extraction — is exercised by the
+# n_with_k_re column of q_json_extract below; standalone through round 2,
+# merged to fit the driver's 50-query correctness window.)
 
 
 # --- positional explode ----------------------------------------------------------
@@ -264,29 +246,25 @@ def q_stats_profile(spark, sf_dir):
     )
 
 
-# --- rollup / cube (§2.2 grouping sets) --------------------------------------
+# --- rollup + cube (§2.2 grouping sets, one tagged query) ---------------------
 
-def q_rollup(spark, sf_dir):
+def q_rollup_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n", "qty",
-        )
-    )
 
-
-def q_cube(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.cube("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n", "sum_value"
+    def shape(gdf, tag):
+        return (
+            gdf.agg(F.count("*").alias("n"),
+                    F.round(F.sum("l_quantity"), 2).alias("qty"))
+            .select(
+                F.lit(tag).alias("gset"),
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "n", "qty",
+            )
         )
+
+    return shape(li.rollup("l_returnflag", "l_linestatus"), "rollup").unionByName(
+        shape(li.cube("l_returnflag", "l_linestatus"), "cube")
     )
 
 
@@ -365,25 +343,35 @@ def q_sessionize(spark, sf_dir):
     )
 
 
-# --- JSON scalar extraction (P2 field-extraction analogue) -----------------------
+# --- JSON + regexp scalar extraction (P2 field-extraction analogue) --------------
+# n_with_k_re extracts the same field with a regexp — both extraction
+# surfaces in one query (regexp_extract was standalone through round 2)
 
 def q_json_extract(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
+    k_re = F.regexp_extract("props", r'"k": (\d+)', 1)
     return ev.groupBy("event_type").agg(
         F.count(k).alias("n_with_k"),
         F.sum(k).cast("long").alias("sum_k"),
         F.min(k).cast("long").alias("min_k"),
         F.max(k).cast("long").alias("max_k"),
+        F.count(F.when(k_re != "", 1)).alias("n_with_k_re"),
     )
 
 
-# --- text normalization (P5 analogue in the text domain) -------------------------
+# --- document transforms: text normalization + array->string encode --------------
+# merges round-2's normalize_text (P5 in the text domain) and array_encode
+# (P6 comma-joined arrays, formatOutput.go:60) into one per-doc projection
 
-def q_normalize_text(spark, sf_dir):
+def q_doc_transforms(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.array_join(F.slice(F.split("text", " "), 1, 3), ",").alias("head3"),
+    )
 
 
 # --- date/time functions ------------------------------------------------------------
@@ -435,49 +423,29 @@ def q_funnel(spark, sf_dir):
     )
 
 
-# --- moving average (bounded window frame) ------------------------------------------
+# --- window frames: bounded moving average + unbounded first/last ---------------------
+# merges round-2's moving_avg (ROWS BETWEEN 2 PRECEDING) and
+# first_last_window (unbounded-both frame) into one per-event projection
 
-def q_moving_avg(spark, sf_dir):
+def q_window_frames(spark, sf_dir):
     from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
-    out = ev.select(
-        "event_id", "user_id",
-        F.round(F.avg("value").over(w), 4).alias("mavg3"),
-    )
-    return out.filter(F.col("user_id") < 50)
-
-
-# --- first/last value window frames ---------------------------------------------------
-
-def q_first_last_window(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    ev = _t(spark, sf_dir, "events")
-    w = (
+    w3 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    wall = (
         Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return (
-        ev.select(
-            "user_id",
-            F.first("event_type").over(w).alias("first_type"),
-            F.last("event_type").over(w).alias("last_type"),
-        )
-        .distinct()
-    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.avg("value").over(w3), 4).alias("mavg3"),
+        F.first("event_type").over(wall).alias("first_type"),
+        F.last("event_type").over(wall).alias("last_type"),
+    ).filter(F.col("user_id") < 50)
 
 
-# --- pivot via conditional aggregation --------------------------------------------------
-
-def q_pivot_conditional(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    agg = [
-        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
-        for t in ("click", "view", "purchase", "signup", "error")
-    ]
-    return ev.groupBy("user_id").agg(*agg).filter(F.col("user_id") < 100)
+# (pivot-via-conditional-aggregation is exercised by the n_click..n_error
+# columns of q_user_profile above, merged with window_runs.)
 
 
 # --- sorted array aggregation -------------------------------------------------------------
@@ -562,78 +530,70 @@ def q_levenshtein_pairs(spark, sf_dir):
     )
 
 
-# --- histogram / bucketed agg ----------------------------------------------------
+# --- value histogram: bucketed agg + exact per-bucket percentiles -----------------
+# merges round-2's histogram (floor-bucketing) and percentiles (exact
+# interpolated percentile) into one bucket-grain aggregation
 
-def q_histogram(spark, sf_dir):
+def q_value_histogram(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.select(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        ev.select(F.floor(F.col("value") / 50).cast("long").alias("bucket"), "value")
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
     )
 
 
-# --- exact percentiles -------------------------------------------------------------
-
-def q_percentiles(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-    )
-
-
+# registry note (round 3): consolidated from 37 entries to 27 so the full
+# 49-query registry fits the driver's 50-row correctness window. Every
+# round-2 operator is still exercised — merged queries name their ancestors
+# in the per-function comments above.
 QUERIES = {
     "agg_pricing": q_agg_pricing,
-    "rollup": q_rollup,
-    "cube": q_cube,
+    "rollup_cube": q_rollup_cube,
     "range_join": q_range_join,
     "asof_prior_click": q_asof_prior_click,
-    "histogram": q_histogram,
-    "percentiles": q_percentiles,
+    "value_histogram": q_value_histogram,
     "sessionize": q_sessionize,
     "json_extract": q_json_extract,
-    "normalize_text": q_normalize_text,
+    "doc_transforms": q_doc_transforms,
     "rank_windows": q_rank_windows,
     "above_nation_avg": q_above_nation_avg,
     "string_funcs": q_string_funcs,
     "levenshtein_pairs": q_levenshtein_pairs,
     "date_funcs": q_date_funcs,
     "funnel": q_funnel,
-    "moving_avg": q_moving_avg,
-    "first_last_window": q_first_last_window,
-    "pivot_conditional": q_pivot_conditional,
+    "window_frames": q_window_frames,
     "collect_sorted": q_collect_sorted,
-    "derived_key": q_derived_key,
     "filter_pushdown": q_filter_pushdown,
     "explode_wordcount": q_explode_wordcount,
     "impute": q_impute,
-    "array_encode": q_array_encode,
     "type_narrowing": q_type_narrowing,
-    "window_runs": q_window_runs,
+    "user_profile": q_user_profile,
     "join_broadcast": q_join_broadcast,
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
+    "semi_anti_join": q_semi_anti_join,
     "topk": q_topk,
-    "set_union": q_set_union,
+    "set_ops": q_set_ops,
     "stats_profile": q_stats_profile,
-    "set_intersect": q_set_intersect,
-    "set_except": q_set_except,
-    "regexp_extract": q_regexp_extract,
     "posexplode": q_posexplode,
 }
 
 ORACLES = {
-    "rollup": """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+    "rollup_cube": """
+        SELECT 'rollup' AS gset,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
                count(*) AS n, round(sum(l_quantity), 2) AS qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-    "cube": """
-        SELECT coalesce(event_type, 'ALL') AS event_type,
-               count(*) AS n, round(sum(value), 2) AS sum_value
-        FROM events GROUP BY CUBE(event_type)
+        UNION ALL
+        SELECT 'cube' AS gset,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
     "range_join": """
         SELECT c.user_id AS user_id, count(*) AS n_pairs
@@ -656,8 +616,10 @@ ORACLES = {
         )
         WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
     """,
-    "histogram": """
-        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+    "value_histogram": """
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n,
+               round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+               round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95
         FROM events GROUP BY 1
     """,
     "sessionize": """
@@ -679,33 +641,15 @@ ORACLES = {
                max(ts_us) - min(ts_us) AS duration_us
         FROM marked GROUP BY user_id, session_idx
     """,
-    "moving_avg": """
+    "window_frames": """
         SELECT event_id, user_id,
                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
-        FROM events WHERE user_id < 50
-    """,
-    "first_last_window": """
-        SELECT DISTINCT user_id,
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
                first_value(event_type) OVER w AS first_type,
                last_value(event_type) OVER w AS last_type
-        FROM events
+        FROM events WHERE user_id < 50
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-    "pivot_conditional": """
-        SELECT user_id,
-               CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_click,
-               CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_view,
-               CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_purchase,
-               CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_signup,
-               CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_error
-        FROM events WHERE user_id < 100 GROUP BY user_id
     """,
     "collect_sorted": """
         SELECT n_regionkey,
@@ -783,19 +727,16 @@ ORACLES = {
                CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
                     AS BIGINT) AS min_k,
                CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                    AS BIGINT) AS max_k
+                    AS BIGINT) AS max_k,
+               count(nullif(regexp_extract(props, '"k": (\\d+)', 1), ''))
+                    AS n_with_k_re
         FROM events GROUP BY event_type
     """,
-    "normalize_text": """
+    "doc_transforms": """
         SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash,
+               array_to_string(list_slice(string_split(text, ' '), 1, 3), ',') AS head3
         FROM documents
-    """,
-    "percentiles": """
-        SELECT event_type,
-               round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
-               round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95
-        FROM events GROUP BY event_type
     """,
     "agg_pricing": """
         SELECT l_returnflag, l_linestatus,
@@ -805,11 +746,6 @@ ORACLES = {
                round(avg(l_discount), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
-    """,
-    "derived_key": """
-        SELECT o_orderkey,
-               concat_ws('-', o_orderstatus, o_orderpriority, o_orderkey) AS order_key
-        FROM orders
     """,
     "filter_pushdown": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -830,23 +766,30 @@ ORACLES = {
                round(sum(coalesce(value, 0.0)), 2) AS sum_value
         FROM events GROUP BY event_type
     """,
-    "array_encode": """
-        SELECT doc_id,
-               array_to_string(list_slice(string_split(text, ' '), 1, 3), ',') AS head3
-        FROM documents
-    """,
     "type_narrowing": """
         SELECT l_orderkey, l_linenumber,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_int,
                upper(l_returnflag) AS flag,
-               CAST(l_linenumber + 1 AS INTEGER) AS linenumber_1based
+               CAST(l_linenumber + 1 AS INTEGER) AS linenumber_1based,
+               concat_ws('-', upper(l_returnflag), l_orderkey, l_linenumber)
+                   AS line_key
         FROM lineitem
     """,
-    "window_runs": """
+    "user_profile": """
         SELECT user_id, count(*) AS n_events,
-               CAST(sum(is_new_run) AS BIGINT) AS n_runs
+               CAST(sum(is_new_run) AS BIGINT) AS n_runs,
+               CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error
         FROM (
-            SELECT user_id,
+            SELECT user_id, event_type,
                    CASE WHEN lag(event_type) OVER w IS NULL
                              OR lag(event_type) OVER w <> event_type
                         THEN 1 ELSE 0 END AS is_new_run
@@ -862,41 +805,41 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
-    "anti_join": """
-        SELECT c_custkey, c_mktsegment FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-    "semi_join": """
-        SELECT c_mktsegment, count(*) AS n_customers FROM customer
+    "semi_anti_join": """
+        SELECT 'semi' AS side, c_mktsegment, count(*) AS n_customers
+        FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'anti' AS side, c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_mktsegment
     """,
     "topk": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """,
-    "set_union": """
-        SELECT DISTINCT nationkey FROM (
-            SELECT c_nationkey AS nationkey FROM customer
-            UNION ALL
-            SELECT s_nationkey AS nationkey FROM supplier
+    "set_ops": """
+        SELECT 'union' AS op, nationkey FROM (
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
         )
-    """,
-    "set_intersect": """
-        SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT
-        SELECT s_nationkey FROM supplier
-    """,
-    "set_except": """
-        SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT
-        SELECT s_nationkey FROM supplier
-    """,
-    "regexp_extract": """
-        SELECT CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS INTEGER)
-               % 10 AS k_mod10,
-               count(*) AS n
-        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'intersect' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'except' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier
+        )
     """,
     "posexplode": """
         WITH w AS (

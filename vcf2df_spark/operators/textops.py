@@ -163,42 +163,39 @@ def q_simhash(spark, sf_dir):
     return hashed.select("doc_id", sim.cast("long").alias("simhash16"))
 
 
-# --- token counting -----------------------------------------------------------
+# --- per-document text profile --------------------------------------------------
+# merges round-2's token_stats (token counting), bpe_tokens (BPE-ish regex
+# tokenizer + utf8 byte ratio, the pandas-UDF surface), quality_score
+# (type-token-ratio quality) and shingles (word-trigram counts) into ONE
+# per-doc pass — registry curation for the driver's 50-query window. The
+# words array is projected once: higher-order fns are codegen fallbacks,
+# so CSE would not collapse repeated inlined copies.
 
 def q_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(_words()).alias("n_tokens"),
-        F.size(F.array_distinct(_words())).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars_actual"),
-    )
-
-
-# --- BPE-ish token counting (pandas UDF surface) --------------------------------
-
-def q_bpe_tokens(spark, sf_dir):
     from vcf2df_spark.functions import bpe_token_count, utf8_ratio
     from vcf2df_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)  # module-level pandas_udfs resolve on workers
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    base = docs.select("doc_id", "text", _words().alias("ws"))
+    ws = F.col("ws")
+    n_tok = F.size(ws)
+    n_dis = F.size(F.array_distinct(ws))
+    shingles = F.transform(
+        F.slice(ws, 1, F.greatest(n_tok - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.get(ws, i + 1), F.get(ws, i + 2)),
+    )
+    ttr = n_dis / n_tok
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    return base.select(
         "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
         bpe_token_count("text").alias("n_bpe_tokens"),
         utf8_ratio("text").alias("bytes_per_char"),
-    )
-
-
-# --- quality scoring ----------------------------------------------------------
-
-def q_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    n_tok = F.size(_words())
-    ttr = F.size(F.array_distinct(_words())) / n_tok
-    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
-    return docs.select(
-        "doc_id",
+        F.size(shingles).alias("n_shingles"),
+        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
         F.round(ttr, 4).alias("ttr"),
         F.round(len_score, 4).alias("len_score"),
         F.round(ttr * len_score, 4).alias("quality"),
@@ -371,6 +368,10 @@ def _kmv_partial_kmin(batches):
 
 
 def q_kmv_distinct(spark, sf_dir):
+    """Combiner-only sketch: at most K rows leave each partition. The exact
+    countDistinct ground truth is NOT part of this query (a full-corpus
+    distinct would defeat the combiner at scale) — sketch accuracy is
+    asserted separately in tests/test_oracle_parity.py."""
     docs = _t(spark, sf_dir, "documents")
     exploded = docs.select(F.explode(_words()).alias("w")).select(
         _word_hash(F.col("w")).alias("h")
@@ -380,14 +381,11 @@ def q_kmv_distinct(spark, sf_dir):
         partial.distinct().orderBy("h").limit(_KMV_K)
         .agg(F.max("h").alias("kth"), F.count("*").alias("k"))
     )
-    # ground-truth column for the demo; countDistinct is partial+final agg
-    exact = exploded.agg(F.countDistinct("h").alias("exact_ndv"))
-    return kth.crossJoin(exact).select(
+    return kth.select(
         "k",
         F.round((F.col("k") - 1) * F.lit(_H_RANGE) / F.col("kth"), 1).alias(
             "ndv_estimate"
         ),
-        "exact_ndv",
     )
 
 
@@ -499,21 +497,8 @@ def q_ivf_probe(spark, sf_dir):
     )
 
 
-# --- word-trigram shingling (the minhash front-end at document scale) ---------
-
-def q_shingles(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    ws = _words()
-    n = F.size(ws)
-    shingles = F.transform(
-        F.slice(ws, 1, F.greatest(n - 2, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.get(ws, i + 1), F.get(ws, i + 2)),
-    )
-    return docs.select(
-        "doc_id",
-        F.size(shingles).alias("n_shingles"),
-        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
-    )
+# (word-trigram shingle counting is part of q_token_stats above; the
+# shingle *rows* used by contamination live in _shingle_rows below.)
 
 
 # --- per-label embedding centroids (the IVF coarse-quantizer step) -------------
@@ -662,23 +647,22 @@ def q_top_terms(spark, sf_dir):
     )
 
 
+# registry note (round 3): consolidated 26 -> 21 entries (driver 50-row
+# window). bpe_tokens/quality_score/shingles merged into token_stats; the
+# two all-pairs oracle DEMOS moved to DEMO_QUERIES — still parity-tested by
+# pytest, no longer presented to the driver as first-class operators.
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "pack_documents": q_pack_documents,
     "contamination": q_contamination,
     "dup_clusters": q_dup_clusters,
     "top_terms": q_top_terms,
-    "shingles": q_shingles,
     "centroid_norms": q_centroid_norms,
     "near_dup_verdicts": q_near_dup_verdicts,
     "ivf_probe": q_ivf_probe,
     "minhash_signature": q_minhash_signature,
-    "lsh_candidate_pairs": q_lsh_candidate_pairs,
-    "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
     "token_stats": q_token_stats,
-    "bpe_tokens": q_bpe_tokens,
-    "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
@@ -689,6 +673,14 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "hash_sample": q_hash_sample,
     "multimodal_meta": q_multimodal_meta,
+}
+
+# all-pairs demonstration queries: correct and oracle-checked (pytest parity
+# runs them), but NOT scale-safe — candidate generation is quadratic in the
+# block/bucket size. The production near-dup path is near_dup_verdicts.
+DEMO_QUERIES = {
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
 }
 
 
@@ -765,26 +757,6 @@ _SIMHASH_COMBINE = " + ".join(
 )
 
 ORACLES = {
-    "shingles": f"""
-        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
-        idx AS (
-            SELECT doc_id, ws,
-                   unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
-            FROM w
-        ),
-        sh AS (
-            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-            FROM idx
-        )
-        SELECT w.doc_id,
-               coalesce(t.n_shingles, 0) AS n_shingles,
-               coalesce(t.n_distinct_shingles, 0) AS n_distinct_shingles
-        FROM w LEFT JOIN (
-            SELECT doc_id, count(*) AS n_shingles,
-                   count(DISTINCT shingle) AS n_distinct_shingles
-            FROM sh GROUP BY doc_id
-        ) t USING (doc_id)
-    """,
     "centroid_norms": """
         WITH per_dim AS (
             SELECT label, i, avg(embedding[i]::DOUBLE) AS m
@@ -895,34 +867,6 @@ ORACLES = {
         FROM documents GROUP BY md5(text)
     """,
     "minhash_signature": f"SELECT doc_id, {_MINHASH_SELECT} FROM documents",
-    "lsh_candidate_pairs": f"""
-        WITH sigs AS (
-            SELECT doc_id,
-                   list_min(list_transform({_SQL_WORDS},
-                       w -> ({_MINHASH_PARAMS[0][0]}
-                             * ({_SQL_HASH.format(w='w')} % 4294967296)
-                             + {_MINHASH_PARAMS[0][1]}) % {_P})) AS mh0
-            FROM documents
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh0 AS band_hash
-        FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
-    """,
-    "jaccard_pairs": f"""
-        WITH d AS (
-            SELECT doc_id, source,
-                   list_distinct({_SQL_WORDS}) AS ws
-            FROM documents
-        )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(
-                     len(list_filter(a.ws, w -> list_contains(b.ws, w)))::DOUBLE
-                     / (len(a.ws) + len(b.ws)
-                        - len(list_filter(a.ws, w -> list_contains(b.ws, w)))),
-                     4) AS jaccard
-            FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-        ) WHERE jaccard >= 0.3
-    """,
     "simhash": f"""
         WITH hashes AS (
             SELECT doc_id, {_SIMHASH_HASHES} AS hs FROM documents
@@ -931,30 +875,37 @@ ORACLES = {
         FROM hashes
     """,
     "token_stats": f"""
-        SELECT doc_id,
-               len({_SQL_WORDS}) AS n_tokens,
-               len(list_distinct({_SQL_WORDS})) AS n_distinct_tokens,
-               length(text) AS n_chars_actual
-        FROM documents
-    """,
-    "bpe_tokens": """
-        SELECT doc_id,
+        WITH w AS (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents),
+        idx AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+            FROM w
+        ),
+        sh AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM idx
+        ),
+        shc AS (
+            SELECT doc_id, count(*) AS n_shingles,
+                   count(DISTINCT shingle) AS n_distinct_shingles
+            FROM sh GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               len(ws) AS n_tokens,
+               len(list_distinct(ws)) AS n_distinct_tokens,
+               length(text) AS n_chars_actual,
                CAST(len(regexp_extract_all(text,
                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
                    AS n_bpe_tokens,
                round(octet_length(encode(text))::DOUBLE
-                     / greatest(length(text), 1), 6) AS bytes_per_char
-        FROM documents
-    """,
-    "quality_score": f"""
-        SELECT doc_id,
-               round(len(list_distinct({_SQL_WORDS}))::DOUBLE
-                     / len({_SQL_WORDS}), 4) AS ttr,
-               round(least(1.0, len({_SQL_WORDS}) / 100.0), 4) AS len_score,
-               round((len(list_distinct({_SQL_WORDS}))::DOUBLE
-                      / len({_SQL_WORDS}))
-                     * least(1.0, len({_SQL_WORDS}) / 100.0), 4) AS quality
-        FROM documents
+                     / greatest(length(text), 1), 6) AS bytes_per_char,
+               coalesce(shc.n_shingles, 0) AS n_shingles,
+               coalesce(shc.n_distinct_shingles, 0) AS n_distinct_shingles,
+               round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS ttr,
+               round(least(1.0, len(ws) / 100.0), 4) AS len_score,
+               round((len(list_distinct(ws))::DOUBLE / len(ws))
+                     * least(1.0, len(ws) / 100.0), 4) AS quality
+        FROM w LEFT JOIN shc USING (doc_id)
     """,
     "lang_id": f"""
         SELECT doc_id, lang,
@@ -1002,8 +953,7 @@ ORACLES = {
             FROM (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K})
         )
         SELECT k,
-               round((k - 1) * {_H_RANGE}::DOUBLE / kth, 1) AS ndv_estimate,
-               (SELECT count(*) FROM hashes) AS exact_ndv
+               round((k - 1) * {_H_RANGE}::DOUBLE / kth, 1) AS ndv_estimate
         FROM kth
     """,
     "hash_sample": f"""
@@ -1045,5 +995,37 @@ ORACLES = {
                octet_length(encode(text)) AS payload_bytes,
                substr(sha256(text), 1, 16) AS sha256_prefix
         FROM documents
+    """,
+}
+
+# oracles for the unregistered demo queries (pytest parity only)
+DEMO_ORACLES = {
+    "lsh_candidate_pairs": f"""
+        WITH sigs AS (
+            SELECT doc_id,
+                   list_min(list_transform({_SQL_WORDS},
+                       w -> ({_MINHASH_PARAMS[0][0]}
+                             * ({_SQL_HASH.format(w='w')} % 4294967296)
+                             + {_MINHASH_PARAMS[0][1]}) % {_P})) AS mh0
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh0 AS band_hash
+        FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+    """,
+    "jaccard_pairs": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   list_distinct({_SQL_WORDS}) AS ws
+            FROM documents
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(
+                     len(list_filter(a.ws, w -> list_contains(b.ws, w)))::DOUBLE
+                     / (len(a.ws) + len(b.ws)
+                        - len(list_filter(a.ws, w -> list_contains(b.ws, w)))),
+                     4) AS jaccard
+            FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.3
     """,
 }
