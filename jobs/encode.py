@@ -97,7 +97,13 @@ def main(argv: list[str] | None = None) -> None:
     n_committed = len(committed_ids)
     pending = keyed
     if committed_ids:
-        pending = keyed.filter(~F.col("_pkey").isin(committed_ids))
+        # broadcast left-anti join, NOT an isin literal list: at the SCALE.md
+        # design point (~400k partitions) an inlined isin is a multi-MB plan
+        # and a slow analyzer pass; the anti-join ships one small table
+        committed_df = spark.createDataFrame(
+            [(int(i),) for i in committed_ids], "partition_id int"
+        )
+        pending = manifest.resume_filter(keyed, committed_df)
 
     truncated = False
     if args.fail_after is not None:

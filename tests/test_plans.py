@@ -64,3 +64,18 @@ def test_topk_take_ordered(spark):
 
     p = _fmt(q_topk(spark, SF))
     assert "TakeOrderedAndProject" in p
+
+
+def test_resume_filter_is_broadcast_anti_join(spark):
+    # the encode job's resume path (jobs/encode.py) must compile to a
+    # broadcast LEFT ANTI join, never an isin literal list — at ~400k
+    # committed partitions an inlined isin is a multi-MB plan
+    from vcf2df_spark.encode import with_partition_key
+    from vcf2df_spark.manifest import resume_filter
+
+    src = spark.createDataFrame(fixtures.transcripts_tiny())
+    keyed = with_partition_key(src, 8)
+    committed = spark.createDataFrame([(i,) for i in range(3)], "partition_id int")
+    p = _fmt(resume_filter(keyed, committed))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
