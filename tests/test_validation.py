@@ -66,3 +66,20 @@ def test_null_strings_normalize_to_empty(spark):
     assert d.loc[0, "tool"] == ""
     assert d.loc[1, "text"] == ""
     assert d.notna().all().all()
+
+
+def test_reserved_extra_column_names_rejected(spark):
+    # '_pkey' and '__*' extras must fail at encode time, not lose data at
+    # decode (decode filters '__*' marker rows; with_partition_key
+    # overwrites '_pkey')
+    import pytest
+
+    from vcf2df_spark import fixtures
+    from vcf2df_spark.encode import normalize_input
+
+    src = fixtures.transcripts_tiny()
+    for bad in ("_pkey", "__meta"):
+        pdf = src.copy()
+        pdf[bad] = 1
+        with pytest.raises(ValueError, match="engine-reserved"):
+            normalize_input(spark.createDataFrame(pdf))

@@ -231,6 +231,15 @@ def normalize_input(df: DataFrame) -> DataFrame:
     ]
     core = set(TRANSCRIPT_COLUMNS)
     extras = {f.name: f.dataType for f in df.schema.fields if f.name not in core}
+    # reserved-name collisions fail HERE, not silently later: "_pkey" would
+    # be overwritten by with_partition_key, and "__"-prefixed columns would
+    # encode but then be dropped by decode's marker filter (data loss)
+    reserved = [n for n in extras if n == "_pkey" or n.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"input columns {reserved} collide with engine-reserved names "
+            "('_pkey', '__*'); rename them before encoding"
+        )
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     float_types = (T.FloatType, T.DoubleType)
     for name in sorted(extras):
