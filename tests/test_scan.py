@@ -111,3 +111,86 @@ def test_fetch_conversation_point_lookup(spark, tmp_path):
     assert (gts == wts).all()
     # missing conversation -> empty frame, not an error
     assert len(scan.fetch_conversation(spark, wh, "conv-99999999")) == 0
+
+
+def _ext_warehouse(spark, tmp_path):
+    src = fixtures.transcripts_extended(n_convs=300)
+    blocks = encode_transcripts(
+        spark.createDataFrame(src.drop(columns=["tags"])),
+        num_partitions=4, chunk_rows=256,
+    )
+    path = str(tmp_path / "whext")
+    blocks.write.parquet(f"{path}/blocks")
+    return src.drop(columns=["tags"]), path
+
+
+def test_f64_zone_maps_prune_and_match(spark, tmp_path):
+    # dynamic-column zone maps (round-3): a range on the f64 extra must
+    # prune chunks via the order-preserving key AND return exact rows
+    src, wh = _ext_warehouse(spark, tmp_path)
+    blocks = spark.read.parquet(f"{wh}/blocks")
+    total = blocks.select("partition_id", "chunk_idx").distinct().count()
+
+    rng = (4.9, 5.0)  # top sliver of the uniform [0, 5) score
+    qual = scan.qualifying_chunks(blocks, col_ranges={"score": rng}).count()
+    assert qual <= total  # pruning is best-effort; correctness is exact:
+
+    got = (
+        scan.scan_transcripts(spark, wh, columns=["conv_id", "turn_idx", "score"],
+                              col_ranges={"score": rng})
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = (
+        src[(src["score"] >= rng[0]) & (src["score"] <= rng[1])]
+        [["conv_id", "turn_idx", "score"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # and a range matching nothing prunes EVERY chunk
+    assert scan.qualifying_chunks(blocks, col_ranges={"score": (9.0, 99.0)}).count() == 0
+
+
+def test_bool_and_int_extra_zone_maps(spark, tmp_path):
+    src, wh = _ext_warehouse(spark, tmp_path)
+    blocks = spark.read.parquet(f"{wh}/blocks")
+    # bool stats: all-False chunks must be pruned for flagged=True
+    qual_true = scan.qualifying_chunks(blocks, col_ranges={"flagged": (True, True)})
+    stats = blocks.filter(F.col("column") == "flagged")
+    all_false = stats.filter(F.col("stat_max_num") == 0).count()
+    assert qual_true.count() + all_false == stats.count()
+    # int64 extra stats recorded and usable
+    got = (
+        scan.scan_transcripts(spark, wh, columns=["conv_id", "turn_idx"],
+                              col_ranges={"tokens_out": (0, 10)})
+        .count()
+    )
+    want = int((src["tokens_out"] <= 10).sum())
+    assert got == want
+
+
+def test_string_extra_zone_maps(spark, tmp_path):
+    src, wh = _ext_warehouse(spark, tmp_path)
+    blocks = spark.read.parquet(f"{wh}/blocks")
+    # low-cardinality string extra carries lexical min/max
+    stats = blocks.filter(F.col("column") == "model")
+    assert stats.filter(F.col("stat_min_str").isNull()).count() == 0
+    got = scan.scan_transcripts(
+        spark, wh, columns=["conv_id", "turn_idx", "model"],
+        col_ranges={"model": ("m-turbo", "m-turbo")},
+    ).count()
+    assert got == int((src["model"] == "m-turbo").sum())
+    # long-text columns stay null (the width guard) — pruning is optional
+    tx = blocks.filter(F.col("column") == "text")
+    assert tx.filter(F.col("stat_min_str").isNotNull()).count() == 0
+
+
+def test_fetch_conversation_zero_match_keeps_extended_schema(spark, tmp_path):
+    # ADVICE r2: the zero-match path must carry the warehouse's actual
+    # column set (extras included), not a hardcoded core six
+    _, wh = _ext_warehouse(spark, tmp_path)
+    out = scan.fetch_conversation(spark, wh, "conv-does-not-exist")
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "flagged", "model", "score", "tokens_out",
+    ]

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import arrow_ops, planner
+from . import arrow_ops, planner, zonemap
 from .blocks import BLOCKS_SCHEMA, TRANSCRIPT_COLUMNS
 
 TURNS_PER_SPLIT = 256  # conversations longer than this are split across partitions
@@ -93,14 +93,35 @@ def encode_chunk_arrow(chunk: pa.Table, partition_id: int, chunk_idx: int,
             if col == "conv_id" and n:  # chunk is sorted by (conv_id, turn_idx)
                 smin_str = arr[0].as_py()
                 smax_str = arr[n - 1].as_py()
+            elif n:
+                # zone maps for the other string columns (role/tool/extras).
+                # Guard on average width so the min_max pass never walks a
+                # long-text column whose stats could not prune anyway; the
+                # 64-char cap keeps block rows small (stats are optional —
+                # a null stat just means "no pruning on this chunk").
+                data_bytes = arr.nbytes - 4 * n  # offsets are int32
+                if data_bytes <= 64 * n:
+                    mm = pc.min_max(arr)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is not None and len(lo) <= 64 and len(hi) <= 64:
+                        smin_str, smax_str = lo, hi
         elif pa.types.is_boolean(t):
             ctype = "bool"
             values = arr.to_numpy(zero_copy_only=False)
             codec, payload, aux, meta, raw_bytes = planner.encode_best_bool(values)
+            if n:
+                smin_num = int(values.min())
+                smax_num = int(values.max())
         elif pa.types.is_floating(t):
             ctype = "f64"
             values = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
             codec, payload, aux, meta, raw_bytes = planner.encode_best_float(values)
+            if n:
+                # order-preserving int64 keys (zonemap.py): int64 compare of
+                # the stats == double compare of the values
+                keys = zonemap.f64_key_array(values)
+                smin_num = int(keys.min())
+                smax_num = int(keys.max())
         else:
             if pa.types.is_timestamp(t):
                 ctype = "ts"

@@ -50,13 +50,45 @@ def _to_micros(v) -> int:
     return int(v)
 
 
+def _range_spec(col: str, lo, hi):
+    """Overlap condition for an arbitrary column, dispatched on the Python
+    type of the bounds: str -> string stats; float -> the order-preserving
+    f64 key transform (zonemap.py, matching what encode recorded); bool ->
+    0/1 ints; datetime -> unix micros; int -> raw int64 stats."""
+    from . import zonemap
+
+    probe = lo if lo is not None else hi
+    if isinstance(probe, str):
+        return _overlap_str(lo, hi)
+    if isinstance(probe, bool):
+        return _overlap_num(
+            None if lo is None else int(lo), None if hi is None else int(hi)
+        )
+    if isinstance(probe, float):
+        return _overlap_num(
+            None if lo is None else zonemap.f64_key(lo),
+            None if hi is None else zonemap.f64_key(hi),
+        )
+    if isinstance(probe, _dt.datetime):
+        return _overlap_num(
+            None if lo is None else _to_micros(lo),
+            None if hi is None else _to_micros(hi),
+        )
+    return _overlap_num(lo, hi)
+
+
 def qualifying_chunks(
     blocks: DataFrame,
     conv_id_range: tuple[str | None, str | None] | None = None,
     turn_idx_range: tuple[int | None, int | None] | None = None,
     ts_range: tuple | None = None,
+    col_ranges: dict[str, tuple] | None = None,
 ) -> DataFrame:
-    """Chunk keys whose zone maps overlap every given predicate range."""
+    """Chunk keys whose zone maps overlap every given predicate range.
+
+    ``col_ranges`` prunes on ANY column with recorded stats — including
+    dynamic extras (f64 via the total-order key, bool as 0/1, int/ts as
+    int64, short strings lexically)."""
     qual = blocks.select(*_CHUNK_KEY).distinct()
     specs = []
     if conv_id_range is not None:
@@ -71,6 +103,8 @@ def qualifying_chunks(
                 None if hi is None else _to_micros(hi),
             ))
         )
+    for col, (lo, hi) in (col_ranges or {}).items():
+        specs.append((col, _range_spec(col, lo, hi)))
     for col, cond in specs:
         keys = blocks.filter(F.col("column") == col).filter(cond).select(*_CHUNK_KEY)
         qual = qual.join(keys, _CHUNK_KEY, "left_semi")
@@ -91,7 +125,7 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
 
     from . import arrow_ops, codecs
 
-    from .decode import _CORE_CTYPES, _column_order
+    from .decode import _CORE_CTYPES, _column_order, schema_from_blocks
 
     blocks = spark.read.parquet(f"{warehouse}/blocks").filter(
         ~F.col("column").startswith("__")
@@ -102,7 +136,7 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
     for r in cand:
         by_chunk.setdefault((r.partition_id, r.chunk_idx), {})[r.column] = r
     frames = []
-    col_order: list[str] = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    col_order: list[str] = []
     for key, cols in by_chunk.items():
         n = int(cols["conv_id"].n_rows)
         col_order = _column_order(cols)
@@ -148,6 +182,10 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
                 out[col] = vals
         frames.append(pd.DataFrame(out))
     if not frames:
+        # empty-result schema from the warehouse's own metadata, so a
+        # zero-match lookup has the SAME columns (extras included) as a hit
+        # — never a hardcoded core list or whichever chunk iterated last
+        col_order = [f.name for f in schema_from_blocks(blocks).fields]
         return pd.DataFrame(columns=col_order)
     return (
         pd.concat(frames, ignore_index=True)
@@ -175,11 +213,16 @@ def scan_transcripts(
     conv_id_range: tuple[str | None, str | None] | None = None,
     turn_idx_range: tuple[int | None, int | None] | None = None,
     ts_range: tuple | None = None,
+    col_ranges: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Decode only the chunks/columns a predicate can touch, then filter
-    exactly. Residual filters need their predicate columns decoded too."""
+    exactly. Residual filters need their predicate columns decoded too.
+    ``col_ranges``: {column: (lo, hi)} range predicates on any stats-bearing
+    column, dynamic extras included (f64/bool/int/ts/short strings)."""
     blocks = spark.read.parquet(f"{warehouse}/blocks")
-    qual = qualifying_chunks(blocks, conv_id_range, turn_idx_range, ts_range)
+    qual = qualifying_chunks(
+        blocks, conv_id_range, turn_idx_range, ts_range, col_ranges
+    )
     pruned = blocks.join(F.broadcast(qual), _CHUNK_KEY, "left_semi")
 
     if columns is None:
@@ -192,6 +235,7 @@ def scan_transcripts(
             need.add("turn_idx")
         if ts_range is not None:
             need.add("ts")
+        need.update(col_ranges or {})
         decoded = decode_blocks(pruned, columns=sorted(need))
 
     if conv_id_range is not None:
@@ -212,6 +256,11 @@ def scan_transcripts(
             decoded = decoded.filter(F.unix_micros("ts") >= _to_micros(lo))
         if hi is not None:
             decoded = decoded.filter(F.unix_micros("ts") <= _to_micros(hi))
+    for col, (lo, hi) in (col_ranges or {}).items():
+        if lo is not None:
+            decoded = decoded.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            decoded = decoded.filter(F.col(col) <= F.lit(hi))
     if columns is not None:
         from .decode import _column_order
 
