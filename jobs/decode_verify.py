@@ -79,11 +79,21 @@ def main(argv: list[str] | None = None) -> None:
         def canon(df):
             from pyspark.sql import types as T
 
+            from vcf2df_spark.functions import f64_bits
+            from vcf2df_spark.shipping import ensure_shipped
+
+            ensure_shipped(df.sparkSession)
             exprs = []
             for name in common:
-                if isinstance(df.schema[name].dataType,
-                              (T.TimestampType, T.TimestampNTZType)):
+                dt = df.schema[name].dataType
+                if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
                     exprs.append(F.unix_micros(name).alias(f"{name}_us"))
+                elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                    # raw bit pattern: exceptAll canonicalizes NaN payloads
+                    # and -0.0, which would mask codec bit corruption
+                    exprs.append(
+                        f64_bits(F.col(name).cast("double")).alias(f"{name}_bits")
+                    )
                 else:
                     exprs.append(F.col(name))
             return df.select(*exprs)

@@ -158,3 +158,37 @@ def test_fetch_conversation_with_extras(spark, tmp_path):
     )
     assert (got["flagged"].to_numpy() == want["flagged"].to_numpy()).all()
     assert (got["model"].to_numpy() == want["model"].to_numpy()).all()
+
+
+def test_decode_rejects_heterogeneous_warehouse(spark, tmp_path):
+    # ADVICE r2: decode must fail loudly instead of decoding every chunk
+    # against one sampled chunk's schema. Two failure shapes:
+    # (a) two encodes appended into one dir with overlapping chunk keys
+    # (b) disjoint chunk keys but different column sets
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vcf2df_spark import fixtures
+    from vcf2df_spark.decode import decode_blocks
+    from vcf2df_spark.encode import encode_transcripts
+
+    base = fixtures.transcripts_tiny()
+    ext = base.copy()
+    ext["score"] = 1.5
+
+    path_a = str(tmp_path / "blocks_a")
+    encode_transcripts(spark.createDataFrame(base), 2).write.mode(
+        "append").parquet(path_a)
+    encode_transcripts(spark.createDataFrame(ext), 2).write.mode(
+        "append").parquet(path_a)
+    with pytest.raises(Exception, match="colliding chunk keys"):
+        decode_blocks(spark.read.parquet(path_a)).collect()
+
+    path_b = str(tmp_path / "blocks_b")
+    b_base = encode_transcripts(spark.createDataFrame(base), 2)
+    b_ext = encode_transcripts(spark.createDataFrame(ext), 4).filter(
+        F.col("partition_id") >= 2
+    )
+    b_base.unionByName(b_ext).write.parquet(path_b)
+    with pytest.raises(Exception, match="heterogeneous chunk schemas"):
+        decode_blocks(spark.read.parquet(path_b)).collect()

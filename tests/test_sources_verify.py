@@ -134,3 +134,19 @@ def test_multiset_detects_single_bit_difference(spark):
     b = spark.createDataFrame(mod)
     assert not verify.multiset_equal(a, b)["equal"]
     assert verify.multiset_equal(a, spark.createDataFrame(src.sample(frac=1.0, random_state=3)))["equal"]
+
+
+def test_multiset_is_bit_exact_for_doubles(spark):
+    # ADVICE r2: xxhash64 canonicalizes -0.0 and NaN payloads; the verifier
+    # must hash raw float bits so codec-level bit corruption is visible
+    import struct
+
+    rows_a = [("c", 0, 0.0), ("c", 1, float("nan"))]
+    nan_payload = struct.unpack("<d", struct.pack("<q", 0x7FF8000000000001))[0]
+    rows_b = [("c", 0, -0.0), ("c", 1, float("nan"))]
+    rows_c = [("c", 0, 0.0), ("c", 1, nan_payload)]
+    schema = "conv_id string, turn_idx int, score double"
+    a = spark.createDataFrame(rows_a, schema)
+    assert not verify.multiset_equal(a, spark.createDataFrame(rows_b, schema))["equal"]
+    assert not verify.multiset_equal(a, spark.createDataFrame(rows_c, schema))["equal"]
+    assert verify.multiset_equal(a, spark.createDataFrame(rows_a, schema))["equal"]

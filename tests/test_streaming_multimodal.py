@@ -13,9 +13,10 @@ from vcf2df_spark.operators import multimodal
 
 def test_incremental_encode_matches_batch(spark, tmp_path):
     """Two files, one epoch EACH (maxFilesPerTrigger=1) -> the decoded
-    two-epoch union is bit-identical. Regression: without per-epoch
-    partition_id remapping, epoch 2 reused epoch 1's (partition_id,
-    chunk_idx) keys and decode grouped blocks across epochs."""
+    two-epoch union is bit-identical. Regression: epoch 2 reuses epoch 1's
+    (partition_id, chunk_idx) keys by design — decode must group on the
+    epoch partition column too (decode.group_keys) or blocks from
+    different epochs fuse into one corrupt chunk."""
     src = fixtures.transcripts_small(n_convs=300)
     half = len(src) // 2
     indir = tmp_path / "in"
@@ -30,11 +31,17 @@ def test_incremental_encode_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    # two distinct epochs actually ran and their block keys are disjoint
-    blocks_pdf = spark.read.parquet(f"{wh}/blocks").toPandas()
+    # two distinct epochs actually ran; pids intentionally REPEAT across
+    # epochs (no remap — it overflowed int32 and collided on restart with a
+    # different num_partitions), so epoch must be part of the group key
+    blocks_df = spark.read.parquet(f"{wh}/blocks")
+    blocks_pdf = blocks_df.toPandas()
     assert blocks_pdf["epoch"].nunique() == 2
     per_epoch_pids = blocks_pdf.groupby("epoch")["partition_id"].unique()
-    assert not (set(per_epoch_pids.iloc[0]) & set(per_epoch_pids.iloc[1]))
+    assert set(per_epoch_pids.iloc[0]) & set(per_epoch_pids.iloc[1])
+    from vcf2df_spark.decode import group_keys
+
+    assert group_keys(blocks_df) == ["partition_id", "chunk_idx", "epoch"]
 
     manifests = spark.read.parquet(f"{wh}/manifests").toPandas()
     assert manifests["n_rows"].sum() == len(src)

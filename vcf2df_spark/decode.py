@@ -51,6 +51,18 @@ def _column_order(cols) -> list[str]:
     return core + sorted(c for c in cols if c not in set(TRANSCRIPT_COLUMNS))
 
 
+def group_keys(blocks: DataFrame) -> list[str]:
+    """Decode group identity. A streaming warehouse's blocks live under
+    ``epoch=N`` partition dirs, so reading the whole warehouse surfaces an
+    ``epoch`` column — it MUST be part of the group key or two epochs that
+    reuse (partition_id, chunk_idx) would be fused into one corrupt chunk
+    (ADVICE r2: the pid-remap alone breaks on restart with a different
+    num_partitions)."""
+    return ["partition_id", "chunk_idx"] + (
+        ["epoch"] if "epoch" in blocks.columns else []
+    )
+
+
 def _decode_one(r: dict, n: int) -> pa.Array:
     payload = bytes(r["payload"] or b"")
     aux = bytes(r["aux"] or b"")
@@ -113,29 +125,47 @@ def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
         "str": T.StringType(), "i32": T.IntegerType(), "i64": T.LongType(),
         "ts": T.TimestampType(), "f64": T.DoubleType(), "bool": T.BooleanType(),
     }
-    # every chunk carries one block per column, so ONE chunk's metadata is
-    # the full schema: locate any chunk key (CollectLimit short-circuits),
-    # then point-read exactly that chunk's (column, ctype) rows with pushed
-    # filters. Two tiny driver jobs — NOT a "first group in a row sample"
-    # shortcut: Spark packs scan splits largest-first, so physical row
-    # order can start mid-group and a sampled group may be incomplete.
-    head = blocks.select("partition_id", "chunk_idx").limit(1).collect()
-    rows = []
-    if head:
-        pid, cid = head[0]["partition_id"], head[0]["chunk_idx"]
-        rows = (
-            blocks.filter(
-                (F.col("partition_id") == pid) & (F.col("chunk_idx") == cid)
-            )
-            .select(
-                "column", F.get_json_object("meta", "$.ctype").alias("ctype")
-            )
-            .collect()
+    # one aggregation over the narrow (keys, column, ctype) projection:
+    # every chunk's sorted (column, ctype) signature, deduplicated. A
+    # heterogeneous warehouse (a second encode appending different extras,
+    # legacy pre-ctype blocks mixed with new, a streaming schema change
+    # across epochs) fails LOUDLY here instead of decoding other chunks
+    # against one sampled chunk's schema (ADVICE r2). Cost is O(chunks)
+    # metadata rows — parquet column pruning keeps the scan narrow.
+    per_chunk = (
+        blocks.select(
+            *group_keys(blocks), "column",
+            F.get_json_object("meta", "$.ctype").alias("ctype"),
         )
-    ctypes = {
-        r["column"]: (r["ctype"] or _CORE_CTYPES.get(r["column"], "str"))
-        for r in rows
-    }
+        .groupBy(*group_keys(blocks))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("column", "ctype"))).alias("sig"),
+            (F.count("*") > F.count_distinct("column")).alias("collided"),
+        )
+    )
+    sigs = per_chunk.select("sig", "collided").distinct().collect()
+    if any(r["collided"] for r in sigs):
+        raise ValueError(
+            "colliding chunk keys: multiple blocks for one column share a "
+            "(partition_id, chunk_idx[, epoch]) group — two encode jobs "
+            "appended into one blocks dir without distinct partition dirs; "
+            "decode refuses to fuse them"
+        )
+    if len(sigs) > 1:
+        rendered = sorted(
+            str([(e["column"], e["ctype"]) for e in s["sig"]]) for s in sigs
+        )
+        raise ValueError(
+            f"heterogeneous chunk schemas in warehouse ({len(sigs)} distinct "
+            "column/ctype sets) — decode refuses to guess; re-encode to one "
+            "schema or decode subsets. Signatures: " + "; ".join(rendered)
+        )
+    ctypes = {}
+    if sigs:
+        ctypes = {
+            e["column"]: (e["ctype"] or _CORE_CTYPES.get(e["column"], "str"))
+            for e in sigs[0]["sig"]
+        }
     if not ctypes:  # zero matching blocks: typed empty result
         for c in requested or TRANSCRIPT_COLUMNS:
             ctypes[c] = _CORE_CTYPES.get(c, "str")
@@ -159,6 +189,6 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None) -> DataFr
     if columns is not None:
         blocks = blocks.filter(F.col("column").isin(list(columns)))
     out_schema = schema_from_blocks(blocks, requested=columns)
-    return blocks.groupBy("partition_id", "chunk_idx").applyInArrow(
+    return blocks.groupBy(*group_keys(blocks)).applyInArrow(
         _decode_group, out_schema
     )

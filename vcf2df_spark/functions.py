@@ -37,3 +37,16 @@ def rolling_content_hash(text: pd.Series) -> pd.Series:
     via pandas hashing of byte content, reduced mod 2^61-1)."""
     h = pd.util.hash_pandas_object(text.fillna(""), index=False).astype("uint64")
     return (h % (2**61 - 1)).astype("int64")
+
+
+@pandas_udf("long")
+def f64_bits(values: pd.Series) -> pd.Series:
+    """Raw IEEE-754 bit pattern of a double as int64.
+
+    Spark's xxhash64/exceptAll canonicalize NaN payloads and normalize
+    -0.0 to +0.0, so value-level comparison cannot detect a codec
+    corrupting those bits; hashing THROUGH this projection makes the e2e
+    verify gate bit-exact for float columns (ADVICE r2)."""
+    import numpy as np
+
+    return pd.Series(values.to_numpy(dtype=np.float64).view(np.int64))

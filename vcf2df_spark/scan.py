@@ -19,9 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .blocks import TRANSCRIPT_COLUMNS
-from .decode import decode_blocks
-
-_CHUNK_KEY = ["partition_id", "chunk_idx"]
+from .decode import decode_blocks, group_keys
 
 
 def _overlap_str(lo: str | None, hi: str | None):
@@ -89,7 +87,8 @@ def qualifying_chunks(
     ``col_ranges`` prunes on ANY column with recorded stats — including
     dynamic extras (f64 via the total-order key, bool as 0/1, int/ts as
     int64, short strings lexically)."""
-    qual = blocks.select(*_CHUNK_KEY).distinct()
+    ck = group_keys(blocks)  # includes epoch for streaming warehouses
+    qual = blocks.select(*ck).distinct()
     specs = []
     if conv_id_range is not None:
         specs.append(("conv_id", _overlap_str(*conv_id_range)))
@@ -106,8 +105,8 @@ def qualifying_chunks(
     for col, (lo, hi) in (col_ranges or {}).items():
         specs.append((col, _range_spec(col, lo, hi)))
     for col, cond in specs:
-        keys = blocks.filter(F.col("column") == col).filter(cond).select(*_CHUNK_KEY)
-        qual = qual.join(keys, _CHUNK_KEY, "left_semi")
+        keys = blocks.filter(F.col("column") == col).filter(cond).select(*ck)
+        qual = qual.join(keys, ck, "left_semi")
     return qual
 
 
@@ -131,10 +130,11 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
         ~F.col("column").startswith("__")
     )
     qual = qualifying_chunks(blocks, conv_id_range=(conv_id, conv_id))
-    cand = blocks.join(F.broadcast(qual), _CHUNK_KEY, "left_semi").collect()
+    ck = group_keys(blocks)
+    cand = blocks.join(F.broadcast(qual), ck, "left_semi").collect()
     by_chunk: dict[tuple, dict[str, dict]] = {}
     for r in cand:
-        by_chunk.setdefault((r.partition_id, r.chunk_idx), {})[r.column] = r
+        by_chunk.setdefault(tuple(r[k] for k in ck), {})[r.column] = r
     frames = []
     col_order: list[str] = []
     for key, cols in by_chunk.items():
@@ -223,7 +223,7 @@ def scan_transcripts(
     qual = qualifying_chunks(
         blocks, conv_id_range, turn_idx_range, ts_range, col_ranges
     )
-    pruned = blocks.join(F.broadcast(qual), _CHUNK_KEY, "left_semi")
+    pruned = blocks.join(F.broadcast(qual), group_keys(blocks), "left_semi")
 
     if columns is None:
         decoded = decode_blocks(pruned)  # all columns, extras included

@@ -38,13 +38,15 @@ def incremental_encode(
     ``.trigger(availableNow=True)`` by the caller-facing helper below, so
     tests drain the backlog and stop deterministically.
 
-    Block keys are disambiguated across micro-batches by remapping
-    ``partition_id`` into a per-epoch range (``+ epoch_id * num_partitions``)
-    — without this, two epochs reuse the same (partition_id, chunk_idx) keys
-    and decode_blocks groups blocks from different epochs into one chunk.
-    Each epoch writes to its own ``epoch=N`` directory with overwrite, so a
-    foreachBatch retry of the same epoch replaces its output instead of
-    appending duplicates (exactly-once at the epoch level).
+    Block keys are disambiguated across micro-batches by the ``epoch=N``
+    partition directory each epoch writes to: reading the warehouse
+    surfaces an ``epoch`` column that decode/scan include in the chunk
+    group key (``decode.group_keys``). No partition_id remapping — the
+    round-2 remap (``pid + epoch_id * num_partitions``) silently collided
+    when a checkpoint restart changed num_partitions, and overflowed int32
+    on unbounded epoch ids (ADVICE r2). Each epoch directory is written
+    with overwrite, so a foreachBatch retry of the same epoch replaces its
+    output instead of appending duplicates (exactly-once at epoch level).
 
     Layout note: Spark's partition discovery rejects mixed flat-file +
     ``epoch=N`` layouts — a warehouse written by the pre-epoch flat-append
@@ -64,15 +66,9 @@ def incremental_encode(
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        blocks = (
-            encode_transcripts(batch_df, num_partitions=num_partitions)
-            .withColumn(
-                "partition_id",
-                (F.col("partition_id") + F.lit(int(epoch_id) * num_partitions))
-                .cast("int"),
-            )
-            .cache()
-        )
+        blocks = encode_transcripts(
+            batch_df, num_partitions=num_partitions
+        ).cache()
         try:
             blocks.count()
             blocks.write.mode("overwrite").parquet(

@@ -23,14 +23,26 @@ def _signature(df: DataFrame):
     from pyspark.sql import types as T
 
     # hash EVERY column (dynamic schema), sorted by name so both sides
-    # agree on order; timestamps as unix_micros (bit-identity contract)
+    # agree on order; timestamps as unix_micros, doubles as raw IEEE-754
+    # bit patterns (xxhash64 canonicalizes NaN payloads and -0.0, which
+    # would mask a codec corrupting those bits — ADVICE r2)
     exprs = []
+    needs_udf = False
     for name in sorted(df.columns):
         field = df.schema[name]
         if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
             exprs.append(F.unix_micros(name))
+        elif isinstance(field.dataType, (T.DoubleType, T.FloatType)):
+            from .functions import f64_bits
+
+            exprs.append(f64_bits(F.col(name).cast("double")))
+            needs_udf = True
         else:
             exprs.append(F.col(name))
+    if needs_udf:
+        from .shipping import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
     sig = F.xxhash64(*exprs)
     return df.select(
         F.count("*").alias("n"),
