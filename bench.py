@@ -90,6 +90,25 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
                 dec_t.append(t_decode)
                 ver_t.append(t_verify)
 
+        # query/scan-path timings (round-3): zone-map pruning or SQL-view
+        # regressions become visible round-over-round in the bench JSON
+        from vcf2df_spark.scan import fetch_conversation, register_transcript_view
+
+        some_conv = src.select("conv_id").limit(1).collect()[0][0]
+        lookup_t = []
+        for _ in range(3):
+            t0 = time.time()
+            hit = fetch_conversation(spark, warehouse, some_conv)
+            lookup_t.append(time.time() - t0)
+        assert len(hit) > 0, "bench point lookup returned no rows"
+        t0 = time.time()
+        register_transcript_view(spark, warehouse, "bench_t")
+        spark.sql(
+            "SELECT role, count(*) AS n, avg(length(text)) AS avg_len "
+            "FROM bench_t GROUP BY role"
+        ).collect()
+        query_sql_sec = time.time() - t0
+
         med = lambda xs: sorted(xs)[len(xs) // 2]
         stored = spark.read.parquet(f"{warehouse}/blocks")
         agg = stored.agg(F.sum("raw_bytes").alias("raw"),
@@ -110,6 +129,8 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             "raw_bytes": int(agg["raw"]),
             "enc_bytes": int(agg["enc"]),
             "disk_bytes": disk,
+            "point_lookup_ms": int(med(lookup_t) * 1000),
+            "query_sql_sec": round(query_sql_sec, 2),
         }
     finally:
         spark.stop()
@@ -208,6 +229,8 @@ def main() -> None:
             "decode": r["decode_sec"],
             "verify_bit_identity": r["verify_sec"],
         },
+        "point_lookup_ms": r["point_lookup_ms"],
+        "query_sql_sec": r["query_sql_sec"],
         "rows": r["rows"],
         "turns_per_sec_encode": r["turns_per_sec_encode"],
         "encode_runs_sec": r["encode_runs_sec"],

@@ -582,6 +582,12 @@ def q_dup_clusters(spark, sf_dir):
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).cache()
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
+    # convergence detector: labels only ever DECREASE (least of mins), so
+    # sum(label) is strictly decreasing until fixpoint — one aggregate
+    # action per round, no self-join against the previous labels (which
+    # cost a second join + action per round through r2). decimal(38,0)
+    # keeps the sum exact far beyond int64 at corpus scale.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     converged = False
     for _ in range(20):
         prop = (
@@ -596,15 +602,15 @@ def q_dup_clusters(spark, sf_dir):
             )
             .cache()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old")).count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     und.unpersist()
     if not converged:  # never return silently-wrong clusters
         raise RuntimeError("dup_clusters: label propagation did not "
