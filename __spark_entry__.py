@@ -59,9 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # curated to <=50 entries so every query gets a row; these lead the dict so
 # they land first even if the window is order-sensitive.
 _PRIORITY = [
-    "dynamic_roundtrip", "multimodal_meta", "embedding_near_dup",
-    "ann_buckets", "cosine_topk", "kmv_distinct", "fingerprint",
-    "hash_sample", "quality_filter", "token_histogram",
+    "dynamic_roundtrip", "scan_pruned", "multimodal_meta",
+    "embedding_near_dup", "ann_buckets", "cosine_topk", "kmv_distinct",
+    "fingerprint", "hash_sample", "quality_filter", "token_histogram",
 ]
 
 

@@ -75,8 +75,46 @@ def q_dynamic_roundtrip(spark, sf_dir):
     )
 
 
+def q_scan_pruned(spark, sf_dir):
+    """Engine-through scan: encode the derived table, zone-map-prune chunks
+    on a turn_idx range AND an f64 extra-column range (round-3 dynamic zone
+    maps, order-preserving key), column-pruned decode, exact residual
+    filter, then checksums over the survivors. The oracle recomputes the
+    same filter on the derived table directly — equality proves pruning
+    never drops a qualifying row and decode is bit-exact on the pruned
+    subset."""
+    from vcf2df_spark.decode import decode_blocks, group_keys
+    from vcf2df_spark.encode import encode_transcripts
+    from vcf2df_spark.scan import qualifying_chunks
+    from vcf2df_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # small chunks -> several chunks per partition -> pruning is real
+    blocks = encode_transcripts(
+        _derived(spark, sf_dir), num_partitions=8, chunk_rows=512
+    ).cache()
+    qual = qualifying_chunks(
+        blocks, turn_idx_range=(2, 5), col_ranges={"score": (100.0, 300.0)}
+    )
+    pruned = blocks.join(F.broadcast(qual), group_keys(blocks), "left_semi")
+    dec = decode_blocks(pruned, columns=["conv_id", "turn_idx", "role", "score"])
+    hit = dec.filter(
+        (F.col("turn_idx") >= 2) & (F.col("turn_idx") <= 5)
+        & (F.col("score") >= 100.0) & (F.col("score") <= 300.0)
+    )
+    return hit.agg(
+        F.count("*").alias("n_rows"),
+        _h(F.col("conv_id")).alias("h_conv"),
+        _h(F.col("turn_idx").cast("string")).alias("h_turn"),
+        _h(F.col("role")).alias("h_role"),
+        _h(F.format_string("%.6f", "score")).alias("h_score"),
+    )
+
+
 QUERIES = {
     "dynamic_roundtrip": q_dynamic_roundtrip,
+    "scan_pruned": q_scan_pruned,
 }
 
 _HASH = "cast(concat('0x', substr(md5({x}), 1, 14)) as bigint)"
@@ -116,5 +154,24 @@ ORACLES = {
                {_sql_h("klass")} AS h_klass,
                {_sql_h("CAST(knum AS VARCHAR)")} AS h_knum
         FROM t
+    """,
+    "scan_pruned": f"""
+        WITH t AS (
+            SELECT printf('u%06d', user_id) AS conv_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                        AS INTEGER) AS turn_idx,
+                   event_type AS role,
+                   coalesce(value, 0.0) AS score
+            FROM events
+        )
+        SELECT count(*) AS n_rows,
+               {_sql_h("conv_id")} AS h_conv,
+               {_sql_h("CAST(turn_idx AS VARCHAR)")} AS h_turn,
+               {_sql_h("role")} AS h_role,
+               {_sql_h("printf('%.6f', score)")} AS h_score
+        FROM t
+        WHERE turn_idx >= 2 AND turn_idx <= 5
+          AND score >= 100.0 AND score <= 300.0
     """,
 }
