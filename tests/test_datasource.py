@@ -1,0 +1,210 @@
+"""The ``format("transcripts")`` Python DataSource: Catalyst-integrated,
+shuffle-free warehouse reads with zone-map filter pushdown.
+
+Covers all three block layouts this engine writes (hive partition_id dirs,
+flat files, streaming epoch dirs), filter-pushdown equality for every
+supported predicate shape, task-side pruning (unit-level, no Spark), the
+``columns`` projection option, and the incomplete-chunk-group loud fail.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    LessThan,
+    StringStartsWith,
+)
+
+from vcf2df_spark import datasource, fixtures
+from vcf2df_spark.datasource import PrunedTranscriptDataSource, chunk_overlaps
+from vcf2df_spark.decode import decode_blocks
+from vcf2df_spark.encode import encode_transcripts, normalize_input
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    """Hive-layout warehouse over the extended fixture (f64/bool/i64/str
+    extras), small chunks so pruning is observable."""
+    root = str(tmp_path_factory.mktemp("dswh"))
+    src = normalize_input(
+        spark.createDataFrame(fixtures.transcripts_extended(n_convs=200))
+    )
+    blocks = encode_transcripts(src, num_partitions=4, chunk_rows=256)
+    blocks.write.partitionBy("partition_id").parquet(f"{root}/blocks")
+    return root
+
+
+@pytest.fixture(scope="module")
+def ref(spark, wh):
+    rows = (
+        decode_blocks(spark.read.parquet(f"{wh}/blocks"))
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert len(rows) > 0
+    return rows
+
+
+def test_full_read_matches_decode_blocks(spark, wh, ref):
+    got = (
+        datasource.read_warehouse(spark, wh)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize(
+    "cond,pred",
+    [
+        ("turn_idx >= 2 AND turn_idx <= 3", lambda r: 2 <= r.turn_idx <= 3),
+        ("score >= 0.2 AND score < 0.6", lambda r: 0.2 <= r.score < 0.6),
+        ("flagged = true", lambda r: r.flagged),
+        ("tokens_out < 64", lambda r: r.tokens_out < 64),
+        ("turn_idx IN (0, 3)", lambda r: r.turn_idx in (0, 3)),
+        ("role = 'assistant'", lambda r: r.role == "assistant"),
+    ],
+)
+def test_pushed_filters_match_exact(spark, wh, ref, cond, pred):
+    got = (
+        datasource.scan_warehouse(spark, wh, cond)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    want = [r for r in ref if pred(r)]
+    assert len(want) > 0, "fixture must exercise the predicate"
+    assert got == want
+
+
+def test_conv_id_point_and_prefix(spark, wh, ref):
+    cid = ref[len(ref) // 2].conv_id
+    got = (
+        datasource.scan_warehouse(spark, wh, F.col("conv_id") == cid)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert got == [r for r in ref if r.conv_id == cid] and got
+    prefix = cid[:-1]
+    got_p = datasource.scan_warehouse(
+        spark, wh, F.col("conv_id").startswith(prefix)
+    ).count()
+    assert got_p == sum(1 for r in ref if r.conv_id.startswith(prefix)) > 0
+
+
+def test_view_and_reuse_stay_correct(spark, wh, ref):
+    """Regression for the Spark 4.1 readInfo staleness hazard: the view
+    format never prunes, so a bare query AFTER a filtered query on the
+    same relation must see every row; a scan_warehouse relation reused
+    with and without extra filters keeps its baked predicate only."""
+    datasource.read_warehouse(spark, wh).createOrReplaceTempView("ds_reuse_v")
+    n_f = spark.sql(
+        "SELECT count(*) FROM ds_reuse_v WHERE turn_idx < 2"
+    ).collect()[0][0]
+    assert n_f == sum(1 for r in ref if r.turn_idx < 2)
+    assert spark.sql("SELECT count(*) FROM ds_reuse_v").collect()[0][0] == len(ref)
+
+    pruned = datasource.scan_warehouse(spark, wh, "turn_idx < 2")
+    assert pruned.filter("role = 'user'").count() == sum(
+        1 for r in ref if r.turn_idx < 2 and r.role == "user"
+    )
+    assert pruned.count() == n_f  # bare re-use: baked predicate only
+
+
+def test_columns_option_prunes_projection(spark, wh, ref):
+    ds = datasource.read_warehouse(spark, wh, columns=["conv_id", "turn_idx"])
+    assert [f.name for f in ds.schema.fields] == ["conv_id", "turn_idx"]
+    assert ds.count() == len(ref)
+
+
+def test_flat_layout(spark, tmp_path, ref, wh):
+    """bench/tests write blocks without partitionBy: partition_id stays a
+    data column; group-per-file still holds (one task wrote each file)."""
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(f"{wh}/blocks").write.parquet(f"{flat}/blocks")
+    got = (
+        datasource.read_warehouse(spark, flat)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert got == ref
+
+
+def test_epoch_layout(spark, tmp_path):
+    """Streaming warehouses: epoch=N dirs are part of chunk identity — two
+    epochs reusing (partition_id, chunk_idx) must not fuse."""
+    root = str(tmp_path / "sw")
+    for epoch in (0, 1):
+        src = normalize_input(
+            spark.createDataFrame(
+                fixtures.transcripts_small(n_convs=30, seed=7 + epoch)
+            ).withColumn("conv_id", F.concat(F.lit(f"e{epoch}-"), "conv_id"))
+        )
+        encode_transcripts(src, num_partitions=2, chunk_rows=64).write.parquet(
+            f"{root}/blocks/epoch={epoch}"
+        )
+    got = datasource.read_warehouse(spark, root)
+    n0 = got.filter("conv_id LIKE 'e0-%'").count()
+    n1 = got.filter("conv_id LIKE 'e1-%'").count()
+    ref = decode_blocks(spark.read.parquet(f"{root}/blocks")).count()
+    assert n0 > 0 and n1 > 0 and n0 + n1 == got.count() == ref
+
+
+def test_task_side_pruning_skips_chunks(spark, wh, ref):
+    """Unit-level (no Spark jobs): a conv_id equality prunes most chunks —
+    the rows yielded by read() are a strict subset of the warehouse."""
+    cid = ref[len(ref) // 2].conv_id
+    ds = PrunedTranscriptDataSource({"path": wh})
+    reader = ds.reader(ds.schema())
+    residual = reader.pushFilters([EqualTo(("conv_id",), cid)])
+    assert list(residual), "all filters must be returned for exact re-eval"
+    rows = 0
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows += batch.num_rows
+    # the conversation hashes to one partition; every partition's sorted
+    # chunks are disjoint in conv_id, so equality overlaps at most ONE
+    # 256-row chunk per partition (4 partitions here)
+    n_conv = sum(1 for r in ref if r.conv_id == cid)
+    assert n_conv <= rows <= 4 * 256 < len(ref), (
+        "pruned read must cover the conversation but decode at most one "
+        "chunk per partition"
+    )
+
+
+def test_chunk_overlaps_pure():
+    ctypes = {"conv_id": "str", "turn_idx": "i32", "score": "f64"}
+    stats = {
+        "conv_id": {"stat_min_str": "c-100", "stat_max_str": "c-199"},
+        "turn_idx": {"stat_min_num": 10, "stat_max_num": 20},
+    }
+    assert chunk_overlaps([EqualTo(("conv_id",), "c-150")], stats, ctypes)
+    assert not chunk_overlaps([EqualTo(("conv_id",), "c-200")], stats, ctypes)
+    assert not chunk_overlaps([GreaterThanOrEqual(("turn_idx",), 21)], stats, ctypes)
+    assert chunk_overlaps([GreaterThanOrEqual(("turn_idx",), 20)], stats, ctypes)
+    assert not chunk_overlaps([LessThan(("turn_idx",), 10)], stats, ctypes)
+    assert chunk_overlaps([In(("turn_idx",), (1, 15))], stats, ctypes)
+    assert not chunk_overlaps([In(("turn_idx",), (1, 2))], stats, ctypes)
+    assert chunk_overlaps([StringStartsWith(("conv_id",), "c-1")], stats, ctypes)
+    assert not chunk_overlaps([StringStartsWith(("conv_id",), "c-2")], stats, ctypes)
+    # no stats recorded for the column -> conservative keep
+    assert chunk_overlaps([EqualTo(("score",), 1.5)], stats, ctypes)
+    # conjunction: one provably-empty clause prunes
+    assert not chunk_overlaps(
+        [EqualTo(("conv_id",), "c-150"), LessThan(("turn_idx",), 5)],
+        stats, ctypes,
+    )
+
+
+def test_incomplete_chunk_group_fails_loudly(spark, tmp_path, wh):
+    broken = str(tmp_path / "broken")
+    spark.read.parquet(f"{wh}/blocks").filter(
+        ~((F.col("column") == "role") & (F.col("chunk_idx") == 0))
+    ).coalesce(1).write.parquet(f"{broken}/blocks")
+    with pytest.raises(Exception, match="missing column blocks|incomplete"):
+        datasource.read_warehouse(spark, broken).count()

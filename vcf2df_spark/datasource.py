@@ -1,0 +1,449 @@
+"""Spark Python DataSource over the encoded warehouse: ``format("transcripts")``.
+
+The Catalyst-integrated read path (PySpark 4.1 DataSource API):
+
+    spark.dataSource.register(TranscriptDataSource)
+    df = spark.read.format("transcripts").load("/path/warehouse")
+    df.filter("conv_id = 'u000017' AND turn_idx < 5")   # pruned at the scan
+
+Why this beats the ``groupBy(keys).applyInArrow`` decode for reads:
+
+- **No decode shuffle.** ``decode_blocks`` must shuffle every encoded
+  payload to co-locate a chunk's column blocks. But the encode job already
+  wrote each chunk's blocks into ONE parquet file (a single Spark task
+  writes a whole (partition, chunk) group — the write invariant). One scan
+  task per blocks file decodes its complete groups in place: at 100 TB the
+  decode becomes an embarrassingly parallel scan instead of a
+  full-warehouse exchange.
+- **Filter pushdown.** ``pushFilters`` receives Catalyst's conjunctive
+  filters; range/equality/IN/prefix predicates on any stats-bearing column
+  prune chunks against the zone maps *inside each task* (distributed
+  pruning — the driver never materializes chunk stats). Every filter is
+  also returned to Spark, which re-applies it exactly: pruning only has to
+  be conservative (never drop a qualifying chunk), exactness is Catalyst's.
+- **Column pruning** via the ``columns`` option (Spark does not yet prune
+  columns through Python data sources): only the requested columns' block
+  rows are read from parquet (parquet-level column+row filters) and only
+  they are decoded.
+
+Layout coverage (all produced by this engine, all hive-discovered):
+``blocks/partition_id=N/*.parquet`` (batch jobs), ``blocks/*.parquet``
+(flat writes), ``blocks/epoch=E/*.parquet`` (streaming epochs — the epoch
+directory is part of chunk-group identity, CLAUDE.md constraint).
+
+Reference analogue: the reference's only read surface is re-opening its
+Parquet output with a second reader (``converter/convert_test.go:63-97``);
+this source is that surface generalized to a queryable, pruned scan.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+from pyspark.sql import types as T
+
+_CTYPE_TO_SPARK = {
+    "str": T.StringType(),
+    "i32": T.IntegerType(),
+    "i64": T.LongType(),
+    "ts": T.TimestampType(),
+    "f64": T.DoubleType(),
+    "bool": T.BooleanType(),
+}
+
+
+def _blocks_root(options: dict) -> str:
+    path = options.get("path") or options.get("warehouse")
+    if not path:
+        raise ValueError(
+            "transcripts data source needs a warehouse path: "
+            ".load('/path/warehouse') or .option('path', ...)"
+        )
+    return os.path.join(path, "blocks")
+
+
+def _dataset(root: str):
+    import pyarrow.dataset as pads
+
+    return pads.dataset(root, format="parquet", partitioning="hive")
+
+
+def infer_ctypes(root: str) -> dict[str, str]:
+    """column -> ctype from the blocks' own metadata (footer analogue).
+
+    One narrow (column, meta) projection over the blocks table, deduplicated
+    driver-side; conflicting ctypes for one column fail loudly (two encode
+    jobs with different schemas appended into one warehouse). Per-chunk
+    column-set completeness is asserted task-side in :meth:`read`, where the
+    chunk's rows are already in hand.
+    """
+    from .decode import _CORE_CTYPES
+
+    tbl = _dataset(root).to_table(columns=["column", "meta"])
+    ctypes: dict[str, str] = {}
+    seen: set[tuple[str, str]] = set()
+    for col, meta in zip(
+        tbl.column("column").to_pylist(), tbl.column("meta").to_pylist()
+    ):
+        if col.startswith("__"):  # marker rows, never data columns
+            continue
+        key = (col, meta)
+        if key in seen:
+            continue
+        seen.add(key)
+        ct = json.loads(meta).get("ctype") or _CORE_CTYPES.get(col, "str")
+        prev = ctypes.get(col)
+        if prev is not None and prev != ct:
+            raise ValueError(
+                f"conflicting ctypes for column {col!r}: {prev} vs {ct} — "
+                "heterogeneous encodes appended into one warehouse"
+            )
+        ctypes[col] = ct
+    return ctypes
+
+
+def _hive_keys(file_path: str, root: str) -> dict[str, int]:
+    """partition_id / epoch recovered from hive path segments."""
+    rel = os.path.relpath(file_path, root)
+    out: dict[str, int] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = int(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# zone-map overlap tests (pure functions; unit-tested without Spark)
+# ---------------------------------------------------------------------------
+
+
+def _stat_key(ctype: str, value: Any):
+    """Predicate bound -> the key domain encode recorded for this ctype.
+
+    Returns (kind, key) with kind in {"str", "num"}; None when the value
+    can't be mapped (unknown type) — callers must treat that as overlap.
+    """
+    from . import zonemap
+
+    if ctype == "str":
+        return ("str", value) if isinstance(value, str) else None
+    if ctype == "f64":
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        return ("num", zonemap.f64_key(float(value)))
+    if ctype == "ts":
+        if isinstance(value, _dt.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=_dt.timezone.utc)
+            return ("num", int(value.timestamp() * 1_000_000))
+        return None
+    if ctype == "bool":
+        return ("num", int(value)) if isinstance(value, bool) else None
+    if isinstance(value, bool) or not isinstance(value, int):
+        return None
+    return ("num", int(value))
+
+
+def _bounds(stats: dict, kind: str):
+    if kind == "str":
+        return stats.get("stat_min_str"), stats.get("stat_max_str")
+    return stats.get("stat_min_num"), stats.get("stat_max_num")
+
+
+def chunk_overlaps(
+    filters: Sequence[Filter], stats_by_col: dict[str, dict], ctypes: dict[str, str]
+) -> bool:
+    """Conservative zone-map test: False only when the chunk provably
+    contains no row satisfying the conjunction of ``filters``.
+
+    A column with no stats row / null stats / an unmappable bound never
+    prunes. Stats are inclusive min/max, so GreaterThan uses >= bounds
+    (conservative; Spark applies the exact predicate afterwards).
+    """
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        col = attr[0]
+        ctype = ctypes.get(col)
+        stats = stats_by_col.get(col)
+        if ctype is None or stats is None:
+            continue
+        if isinstance(f, EqualTo):
+            keep = _overlap_range(stats, ctype, f.value, f.value)
+        elif isinstance(f, GreaterThan):
+            keep = _overlap_range(stats, ctype, f.value, None, lo_strict=True)
+        elif isinstance(f, GreaterThanOrEqual):
+            keep = _overlap_range(stats, ctype, f.value, None)
+        elif isinstance(f, LessThan):
+            keep = _overlap_range(stats, ctype, None, f.value, hi_strict=True)
+        elif isinstance(f, LessThanOrEqual):
+            keep = _overlap_range(stats, ctype, None, f.value)
+        elif isinstance(f, In):
+            keep = any(_overlap_range(stats, ctype, v, v) for v in f.value)
+        elif isinstance(f, StringStartsWith):
+            keep = _overlap_prefix(stats, ctype, f.value)
+        else:  # IsNotNull etc.: engine stores no nulls, nothing to prune
+            keep = True
+        if not keep:
+            return False
+    return True
+
+
+def _overlap_range(
+    stats: dict, ctype: str, lo: Any, hi: Any,
+    lo_strict: bool = False, hi_strict: bool = False,
+) -> bool:
+    """Stats min/max are inclusive; strict bounds prune the boundary too
+    (``x < v`` prunes a chunk whose min equals v)."""
+    probe = lo if lo is not None else hi
+    mapped = _stat_key(ctype, probe)
+    if mapped is None:
+        return True
+    kind = mapped[0]
+    smin, smax = _bounds(stats, kind)
+    if smin is None or smax is None:
+        return True
+    if lo is not None:
+        klo = _stat_key(ctype, lo)
+        if klo is not None and (smax < klo[1] or (lo_strict and smax <= klo[1])):
+            return False
+    if hi is not None:
+        khi = _stat_key(ctype, hi)
+        if khi is not None and (smin > khi[1] or (hi_strict and smin >= khi[1])):
+            return False
+    return True
+
+
+def _overlap_prefix(stats: dict, ctype: str, prefix: str) -> bool:
+    if ctype != "str":
+        return True
+    smin, smax = _bounds(stats, "str")
+    if smin is None or smax is None:
+        return True
+    # p-prefixed strings form [p, p∞): overlap iff max >= p and min's first
+    # len(p) chars don't already sort past p
+    return smax >= prefix and smin[: len(prefix)] <= prefix
+
+
+# ---------------------------------------------------------------------------
+# the data source
+# ---------------------------------------------------------------------------
+
+
+class _BlocksFilePartition(InputPartition):
+    def __init__(self, file_path: str, hive: dict[str, int]):
+        self.file_path = file_path
+        self.hive = hive
+
+
+class TranscriptReader(DataSourceReader):
+    """The always-correct scan: no ``pushFilters`` on purpose.
+
+    Spark 4.1 caches a Python source's planned read (``PythonDataSourceV2.
+    readInfo``) on the relation and SKIPS the pushdown re-plan for
+    filterless queries — so a reader with pushdown state that is reused
+    across queries (a temp view, a kept DataFrame) would silently apply the
+    PREVIOUS query's pruning to a later unfiltered query. This reader
+    therefore never prunes; :class:`PrunedTranscriptReader` adds pushdown
+    and is only handed out with the filters baked into the returned plan
+    (see :func:`scan_warehouse`), which forces a fresh pushdown cycle on
+    every re-plan and keeps the cache consistent.
+    """
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.root = _blocks_root(options)
+        self.schema = schema
+        self.ctypes = infer_ctypes(self.root)
+        self.pushed: list[Filter] = []
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """One task per blocks parquet file. Listing is O(files) driver
+        work (the same contract as any file source); chunk-level zone-map
+        pruning happens inside the tasks, against stats rows that are
+        already local to each file — pruning itself is distributed."""
+        files = _dataset(self.root).files
+        return [_BlocksFilePartition(f, _hive_keys(f, self.root)) for f in files]
+
+    def read(self, partition: _BlocksFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .decode import decode_chunk_arrow
+
+        want = [f.name for f in self.schema.fields]
+        want_set = set(want)
+        # predicate columns must load for their stats rows even when pruned
+        # out of the projection
+        need_cols = want_set | {
+            f.attribute[0] for f in self.pushed if getattr(f, "attribute", None)
+        }
+        cols = [
+            "chunk_idx", "column", "codec", "n_rows", "payload", "aux",
+            "meta", "stat_min_str", "stat_max_str", "stat_min_num",
+            "stat_max_num",
+        ]
+        if "partition_id" not in partition.hive:  # flat layout: data column
+            cols.insert(0, "partition_id")
+        tbl = pq.read_table(partition.file_path, columns=cols)
+        rows = tbl.to_pylist()
+        groups: dict[tuple, dict[str, dict]] = {}
+        for r in rows:
+            col = r["column"]
+            if col.startswith("__") or col not in need_cols:
+                continue
+            key = (
+                partition.hive.get("partition_id", r.get("partition_id")),
+                r["chunk_idx"],
+                partition.hive.get("epoch"),
+            )
+            groups.setdefault(key, {})[col] = r
+
+        out_schema = to_arrow_schema(self.schema)
+        data_cols = [c for c in self.ctypes if c in want_set]
+        for key, cols in groups.items():
+            missing = [c for c in data_cols if c not in cols]
+            if missing:
+                raise ValueError(
+                    f"chunk {key} in {partition.file_path} is missing column "
+                    f"blocks {missing} — incomplete chunk group (write "
+                    "invariant violated or heterogeneous appends)"
+                )
+            if self.pushed and not chunk_overlaps(self.pushed, cols, self.ctypes):
+                continue
+            chunk = decode_chunk_arrow([cols[c] for c in want if c in cols])
+            chunk = chunk.select(want).cast(out_schema)
+            yield from chunk.to_batches()
+
+
+class PrunedTranscriptReader(TranscriptReader):
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        """Record every filter usable for zone-map pruning; return ALL of
+        them (eagerly — a lazy generator would never run if the engine
+        doesn't drain it). Spark re-evaluates returned filters exactly, so
+        pruning only carries the conservative-overlap obligation, never
+        exactness."""
+        supported = (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual, In, StringStartsWith,
+        )
+        self.pushed = [
+            f
+            for f in filters
+            if isinstance(f, supported)
+            and getattr(f, "attribute", None)
+            and len(f.attribute) == 1
+            and f.attribute[0] in self.ctypes
+        ]
+        return list(filters)
+
+
+class TranscriptDataSource(DataSource):
+    """``spark.read.format("transcripts").load(warehouse)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "transcripts"
+
+    def schema(self) -> T.StructType:
+        from .decode import _column_order
+
+        ctypes = infer_ctypes(_blocks_root(self.options))
+        cols = _column_order(ctypes)
+        if self.options.get("columns"):
+            keep = [c.strip() for c in self.options["columns"].split(",")]
+            unknown = [c for c in keep if c not in ctypes]
+            if unknown:
+                raise ValueError(f"unknown columns {unknown}; have {cols}")
+            cols = [c for c in _column_order(keep)]
+        return T.StructType(
+            [T.StructField(c, _CTYPE_TO_SPARK[ctypes[c]], False) for c in cols]
+        )
+
+    def reader(self, schema: T.StructType) -> TranscriptReader:
+        return TranscriptReader(self.options, schema)
+
+
+class PrunedTranscriptDataSource(TranscriptDataSource):
+    """Pushdown-enabled variant. Do not hand bare relations of this format
+    to callers (see TranscriptReader docstring for the Spark 4.1 readInfo
+    staleness hazard) — go through :func:`scan_warehouse`, which bakes the
+    predicate into the returned plan."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "transcripts_pruned"
+
+    def reader(self, schema: T.StructType) -> PrunedTranscriptReader:
+        return PrunedTranscriptReader(self.options, schema)
+
+
+_registered: set[int] = set()
+
+
+def register(spark) -> None:
+    """Idempotently register both formats with this session (and ship the
+    package so executors can import the decode kernels)."""
+    from .shipping import ensure_shipped
+
+    key = id(spark.sparkContext)
+    if key in _registered:
+        return
+    ensure_shipped(spark)
+    # off by default in 4.1; runtime-settable SQL conf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TranscriptDataSource)
+    spark.dataSource.register(PrunedTranscriptDataSource)
+    _registered.add(key)
+
+
+def read_warehouse(spark, warehouse: str, columns: list[str] | None = None):
+    """Full-scan read path: shuffle-free decode, safe to reuse and to wrap
+    in a view (no pushdown state; see TranscriptReader)."""
+    register(spark)
+    r = spark.read.format("transcripts")
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load(warehouse)
+
+
+def scan_warehouse(
+    spark,
+    warehouse: str,
+    predicate,
+    columns: list[str] | None = None,
+):
+    """Predicate-pruned read: zone maps skip non-overlapping chunks inside
+    each scan task; Spark re-applies the predicate exactly.
+
+    ``predicate`` (a SQL string or Column, required) is applied to the
+    relation before it is returned, so every downstream action carries at
+    least these filters — each re-plan runs a fresh pushdown cycle, which
+    is what keeps Spark 4.1's cached readInfo consistent under reuse.
+    """
+    register(spark)
+    r = spark.read.format("transcripts_pruned")
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    df = r.load(warehouse)
+    for p in predicate if isinstance(predicate, (list, tuple)) else [predicate]:
+        df = df.filter(p)
+    return df

@@ -198,12 +198,17 @@ def register_transcript_view(spark: SparkSession, warehouse: str,
                              name: str = "transcripts") -> None:
     """Expose the encoded warehouse as a SQL view: ``SELECT ... FROM name``.
 
-    Decode happens lazily per query; combine with :func:`scan_transcripts`
-    for predicate-pruned access. This is the switch-over surface for users
-    of the reference: their SQL keeps working, storage is ours.
+    Backed by the ``transcripts`` Python DataSource (datasource.py): one
+    scan task per blocks file decodes its co-located chunk groups in place,
+    so the view costs NO shuffle — unlike the groupBy+applyInArrow decode,
+    which must exchange every encoded payload. Combine with
+    :func:`vcf2df_spark.datasource.scan_warehouse` for zone-map-pruned
+    predicate access. This is the switch-over surface for users of the
+    reference: their SQL keeps working, storage is ours.
     """
-    blocks = spark.read.parquet(f"{warehouse}/blocks")
-    decode_blocks(blocks).createOrReplaceTempView(name)
+    from .datasource import read_warehouse
+
+    read_warehouse(spark, warehouse).createOrReplaceTempView(name)
 
 
 def scan_transcripts(
