@@ -163,7 +163,9 @@ def main(argv: list[str] | None = None) -> None:
 
     # blocks first (idempotent per-partition overwrite), manifest commit last
     blocks.write.mode("overwrite").partitionBy("partition_id").parquet(blocks_path)
-    manifests = manifest.build_manifests(blocks, args.job_id, args.input)
+    manifests = manifest.build_manifests(
+        blocks, args.job_id, args.input, num_partitions=args.partitions
+    )
     manifests.write.mode("append").parquet(manifests_path)
     wall = time.time() - t0
     print(json.dumps({

@@ -194,3 +194,55 @@ def test_fetch_conversation_zero_match_keeps_extended_schema(spark, tmp_path):
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "flagged", "model", "score", "tokens_out",
     ]
+
+
+def test_spark_xxhash64_parity(spark):
+    """The Python partition router must match Spark's xxhash64 bit-for-bit
+    — it is how point lookups compute their partition dirs."""
+    from vcf2df_spark.sparkhash import pkey_for, spark_xxhash64
+
+    rows = [("", 0), ("conv-00000042", 3), ("héllo wörld ☃", 12345),
+            ("x" * 100, 7), ("abcdefgh", 0), ("abcd", 1), ("a" * 33, 9)]
+    got = spark.createDataFrame(rows, "c string, s int").select(
+        F.xxhash64("c", "s").alias("h"),
+        F.pmod(F.xxhash64("c", "s"), F.lit(16)).cast("int").alias("p"),
+    ).collect()
+    for (c, s), r in zip(rows, got):
+        assert spark_xxhash64(c, s) == r.h
+        assert pkey_for(c, s, 16) == r.p
+
+
+def test_fetch_conversation_hash_routed_partition_pruning(spark, tmp_path):
+    """Job-shaped warehouse (hive dirs + manifests): the lookup COMPUTES
+    its partition from the manifests' routing metadata (num_partitions +
+    turn_max) — one dir per 256-turn split — and launches no Spark job."""
+    from vcf2df_spark import manifest
+
+    src = fixtures.transcripts_small(n_convs=400)
+    blocks = encode_transcripts(
+        spark.createDataFrame(src), num_partitions=8, chunk_rows=256
+    ).cache()
+    wh = str(tmp_path / "mwh")
+    blocks.write.partitionBy("partition_id").parquet(f"{wh}/blocks")
+    manifest.build_manifests(
+        blocks, "t", "src", num_partitions=8
+    ).write.parquet(f"{wh}/manifests")
+    blocks.unpersist()
+
+    target = "conv-00000123"
+    pids = scan._manifest_conv_partitions(wh, target)
+    # fixture convs are < 256 turns -> exactly one split -> one partition
+    assert pids is not None and len(pids) == 1
+    got = scan.fetch_conversation(spark, wh, target)
+    want = src[src.conv_id == target].sort_values("turn_idx")
+    assert len(got) == len(want) > 0
+    assert (got["text"].to_numpy() == want["text"].to_numpy()).all()
+    # manifests without routing metadata fall back to conv ranges (all 8
+    # under hash layout — conservative, never wrong)
+    manifest.build_manifests(blocks, "t2", "src").write.mode("overwrite").parquet(
+        f"{wh}/manifests"
+    )
+    pids_range = scan._manifest_conv_partitions(wh, target)
+    assert pids_range == list(range(8))
+    # warehouses without manifests (bench/test layout) degrade gracefully
+    assert scan._manifest_conv_partitions(str(tmp_path / "nope"), target) is None

@@ -60,5 +60,14 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("input_path", T.StringType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("committed_at", T.LongType(), False),
+        # partition-level zone map on the sort key: lets a point lookup
+        # prune to ~1 partition dir from the tiny manifests table alone
+        T.StructField("conv_min", T.StringType(), True),
+        T.StructField("conv_max", T.StringType(), True),
+        # hash-routing metadata: with the partitioner's modulus and the max
+        # turn index on record, a lookup COMPUTES its partition dirs
+        # (sparkhash.pkey_for) instead of scanning stats — O(splits) dirs
+        T.StructField("num_partitions", T.IntegerType(), True),
+        T.StructField("turn_max", T.LongType(), True),
     ]
 )

@@ -53,7 +53,12 @@ def _column_desc_expr():
     )
 
 
-def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFrame:
+def build_manifests(
+    blocks: DataFrame,
+    job_id: str,
+    input_path: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Aggregate block rows into one committed manifest row per partition.
 
     Pure DataFrame aggregation (partial+final hash-agg, no custom shuffle):
@@ -108,6 +113,20 @@ def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFram
             F.sha2(F.concat_ws("", F.sort_array(F.collect_list("_bh"))), 256).alias(
                 "checksum"
             ),
+            # partition-level conv_id zone map (min/max over the chunk zone
+            # maps): the manifests table alone prunes a point lookup to ~1
+            # partition dir, so the interactive read never lists blocks
+            F.min(
+                F.when(F.col("column") == "conv_id", F.col("stat_min_str"))
+            ).alias("conv_min"),
+            F.max(
+                F.when(F.col("column") == "conv_id", F.col("stat_max_str"))
+            ).alias("conv_max"),
+            # turn_max bounds the split index of the hash partitioner, so a
+            # lookup knows how many pkey_for(conv, split) dirs to compute
+            F.max(
+                F.when(F.col("column") == "turn_idx", F.col("stat_max_num"))
+            ).alias("turn_max"),
         )
     )
     return agg.select(
@@ -123,6 +142,10 @@ def build_manifests(blocks: DataFrame, job_id: str, input_path: str) -> DataFram
         F.lit(input_path).alias("input_path"),
         F.lit("committed").alias("status"),
         F.lit(int(time.time() * 1_000_000)).alias("committed_at"),
+        "conv_min",
+        "conv_max",
+        F.lit(num_partitions).cast("int").alias("num_partitions"),
+        "turn_max",
     )
 
 

@@ -110,67 +110,174 @@ def qualifying_chunks(
     return qual
 
 
-def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
-    """Point lookup: one conversation, decoding the minimum possible.
+def _manifest_conv_partitions(warehouse: str, conv_id: str) -> list[int] | None:
+    """Partition ids that can contain ``conv_id``, from the manifests table
+    (one tiny row per partition — O(partitions) metadata, never blocks).
 
-    Zone maps select the candidate chunks; the cheap key columns decode
-    fully to locate the row span; ``text`` decodes via random access
-    (only the FSST/raw byte range covering those rows). Returns a pandas
-    DataFrame ordered by turn_idx — the interactive read path.
+    Preferred route: the encode partitioner is a deterministic hash
+    (``pmod(xxhash64(conv_id, turn_idx // 256), N)``), so with the modulus
+    and the max turn index on record the lookup COMPUTES its partition dirs
+    (sparkhash.pkey_for) — ~1 dir per 256-turn split, independent of
+    warehouse size. Conv min/max ranges can't prune a hash layout (every
+    partition spans the keyspace), but serve as the fallback for manifests
+    written without routing metadata and for future range layouts.
+
+    Returns None when no pruning is possible (no manifests dir —
+    bench/test warehouses — or legacy columns); rows with null metadata
+    (legacy appends) conservatively disable the affected route.
     """
+    import pyarrow.dataset as pads
+
+    from .encode import TURNS_PER_SPLIT
+    from .sparkhash import pkey_for
+
+    try:
+        d = pads.dataset(
+            f"{warehouse}/manifests", format="parquet", partitioning="hive"
+        )
+        names = d.schema.names
+        if "conv_min" not in names or "conv_max" not in names:
+            return None
+        cols = ["partition_id", "conv_min", "conv_max"] + [
+            c for c in ("num_partitions", "turn_max") if c in names
+        ]
+        t = d.to_table(
+            columns=cols, filter=pads.field("status") == "committed"
+        ).to_pylist()
+    except (FileNotFoundError, OSError):
+        return None
+    if not t:
+        return None
+
+    mods = {r.get("num_partitions") for r in t}
+    turn_maxes = [r.get("turn_max") for r in t]
+    if None not in mods and mods and None not in turn_maxes:
+        n_splits = max(turn_maxes) // TURNS_PER_SPLIT + 1
+        return sorted(
+            {pkey_for(conv_id, s, n) for n in mods for s in range(n_splits)}
+        )
+
+    # range fallback: keep rows whose conv range covers the key (or whose
+    # range is unknown)
+    return sorted(
+        {
+            r["partition_id"]
+            for r in t
+            if r["conv_min"] is None or r["conv_min"] <= conv_id <= r["conv_max"]
+        }
+    )
+
+
+def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
+    """Point lookup: one conversation, decoding the minimum possible —
+    WITHOUT launching a Spark job.
+
+    Interactive lookups shouldn't pay a cluster round-trip: this is pure
+    driver-side (client-side) metadata navigation, the same way a key-value
+    get against a columnar store works. Three bounded steps: (1) the
+    manifests table (one row per partition) prunes to the ~1 partition dir
+    whose conv range covers the key; (2) that directory's chunk zone maps
+    (parquet-filtered stats rows) prune to the ~1 candidate chunk; (3) the
+    candidate chunk's key columns decode to locate the row span and
+    ``text`` decodes via random access (only the FSST/raw byte range
+    covering those rows). pyarrow.dataset handles local/S3/HDFS paths
+    alike. Returns a pandas DataFrame ordered by turn_idx.
+
+    ``spark`` is unused (kept for call-site compatibility with the scan
+    DataFrame APIs and so the CLI can share one entry path).
+    """
+    import bisect
     import json
 
     import pandas as pd
+    import pyarrow.dataset as pads
 
     from . import arrow_ops, codecs
+    from .decode import _CORE_CTYPES, _column_order
 
-    from .decode import _CORE_CTYPES, _column_order, schema_from_blocks
+    root = f"{warehouse}/blocks"
+    dset = pads.dataset(root, format="parquet", partitioning="hive")
+    names = dset.schema.names
+    ck = ["partition_id", "chunk_idx"] + (["epoch"] if "epoch" in names else [])
 
-    blocks = spark.read.parquet(f"{warehouse}/blocks").filter(
-        ~F.col("column").startswith("__")
+    def _decode_str_row(r, n, lo=0, hi=None):
+        m = json.loads(r["meta"])
+        payload, aux = bytes(r["payload"] or b""), bytes(r["aux"] or b"")
+        if hi is None:
+            return arrow_ops.decode_string_column(r["codec"], payload, aux, m, n)
+        return arrow_ops.decode_string_rows(r["codec"], payload, aux, m, n, lo, hi)
+
+    # phase A — locate: candidate chunks from zone maps (manifests route to
+    # ~1 hive dir first), then decode ONLY their conv_id blocks (bytes per
+    # conversation, strnum/dict-coded) and bisect for the exact row span.
+    # Under hash partitioning every chunk's conv range spans the keyspace,
+    # so this phase must stay cheap even when zone maps can't prune:
+    # payload bytes of the OTHER columns are not touched here.
+    cand_filter = (
+        (pads.field("column") == "conv_id")
+        & (pads.field("stat_min_str") <= conv_id)
+        & (pads.field("stat_max_str") >= conv_id)
     )
-    qual = qualifying_chunks(blocks, conv_id_range=(conv_id, conv_id))
-    ck = group_keys(blocks)
-    cand = blocks.join(F.broadcast(qual), ck, "left_semi").collect()
-    by_chunk: dict[tuple, dict[str, dict]] = {}
+    pids = _manifest_conv_partitions(warehouse, conv_id)
+    if pids is not None:
+        cand_filter = cand_filter & pads.field("partition_id").isin(pids)
+    cand = dset.to_table(
+        columns=ck + ["codec", "n_rows", "payload", "aux", "meta"],
+        filter=cand_filter,
+    ).to_pylist()
+
+    hits: list[tuple[tuple, int, int, list[str]]] = []  # (key, lo, hi, ids)
     for r in cand:
-        by_chunk.setdefault(tuple(r[k] for k in ck), {})[r.column] = r
-    frames = []
-    col_order: list[str] = []
-    for key, cols in by_chunk.items():
-        n = int(cols["conv_id"].n_rows)
-        col_order = _column_order(cols)
-
-        def _decode_str(col, lo=0, hi=None):
-            r = cols[col]
-            m = json.loads(r.meta)
-            if hi is None:
-                return arrow_ops.decode_string_column(
-                    r.codec, bytes(r.payload or b""), bytes(r.aux or b""), m, n
-                )
-            return arrow_ops.decode_string_rows(
-                r.codec, bytes(r.payload or b""), bytes(r.aux or b""), m, n, lo, hi
-            )
-
-        cids = _decode_str("conv_id").to_pylist()
-        import bisect
-
+        n = int(r["n_rows"])
+        cids = _decode_str_row(r, n).to_pylist()
         lo = bisect.bisect_left(cids, conv_id)   # chunk is sorted by conv_id
         hi = bisect.bisect_right(cids, conv_id)
-        if hi <= lo:
+        if hi > lo:
+            hits.append((tuple(r[k] for k in ck), lo, hi, cids[lo:hi]))
+
+    if not hits:
+        # empty-result schema from the warehouse's own metadata, so a
+        # zero-match lookup has the SAME columns (extras included) as a hit
+        # — never a hardcoded core list or whichever chunk iterated last
+        from .datasource import infer_ctypes
+
+        return pd.DataFrame(columns=_column_order(infer_ctypes(root)))
+
+    # phase B — fetch: full block rows for ONLY the chunks that truly
+    # contain the conversation (typically one)
+    expr = None
+    for key, _, _, _ in hits:
+        e = None
+        for k, v in zip(ck, key):
+            cond = pads.field(k) == v
+            e = cond if e is None else e & cond
+        expr = e if expr is None else expr | e
+    rows = dset.to_table(filter=expr).to_pylist()
+    by_chunk: dict[tuple, dict[str, dict]] = {}
+    for r in rows:
+        if r["column"].startswith("__"):
             continue
-        out = {"conv_id": cids[lo:hi]}
+        by_chunk.setdefault(tuple(r[k] for k in ck), {})[r["column"]] = r
+
+    frames = []
+    col_order: list[str] = []
+    for key, lo, hi, ids in hits:
+        cols = by_chunk[key]
+        n = int(cols["conv_id"]["n_rows"])
+        col_order = _column_order(cols)
+        out = {"conv_id": ids}
         for col in col_order:  # dynamic schema: extras included
             if col == "conv_id":
                 continue
             r = cols[col]
-            meta = json.loads(r.meta)
+            meta = json.loads(r["meta"])
             ctype = meta.get("ctype") or _CORE_CTYPES.get(col, "str")
             if ctype == "str":
-                out[col] = _decode_str(col, lo, hi).to_pylist()
+                out[col] = _decode_str_row(r, n, lo, hi).to_pylist()
                 continue
             vals = codecs.decode(
-                r.codec, bytes(r.payload or b""), bytes(r.aux or b""), meta, n
+                r["codec"], bytes(r["payload"] or b""), bytes(r["aux"] or b""),
+                meta, n,
             )[lo:hi]
             if ctype == "ts":
                 out[col] = pd.to_datetime(vals.astype("int64"), unit="us")
@@ -181,12 +288,6 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
             else:  # i64 / f64 keep their numpy dtype
                 out[col] = vals
         frames.append(pd.DataFrame(out))
-    if not frames:
-        # empty-result schema from the warehouse's own metadata, so a
-        # zero-match lookup has the SAME columns (extras included) as a hit
-        # — never a hardcoded core list or whichever chunk iterated last
-        col_order = [f.name for f in schema_from_blocks(blocks).fields]
-        return pd.DataFrame(columns=col_order)
     return (
         pd.concat(frames, ignore_index=True)
         .sort_values("turn_idx")
