@@ -79,3 +79,22 @@ def test_resume_filter_is_broadcast_anti_join(spark):
     p = _fmt(resume_filter(keyed, committed))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_datasource_read_is_shuffle_free(spark, tmp_path):
+    from vcf2df_spark import datasource
+
+    src = spark.createDataFrame(fixtures.transcripts_tiny())
+    wh = str(tmp_path / "pwh")
+    encode_transcripts(src, num_partitions=2).write.partitionBy(
+        "partition_id"
+    ).parquet(f"{wh}/blocks")
+
+    p = _fmt(datasource.read_warehouse(spark, wh))
+    assert "BatchScan transcripts" in p and "Exchange" not in p
+
+    p = _fmt(datasource.scan_warehouse(spark, wh, "turn_idx >= 1"))
+    assert "BatchScan transcripts_pruned" in p and "Exchange" not in p
+    # the predicate must survive in the plan: pruning is conservative,
+    # exactness is Catalyst's re-applied Filter
+    assert _nodes(p, "Filter") == 1

@@ -134,6 +134,34 @@ def main() -> None:
         "decode UDF; column pruning filters block rows before the shuffle:",
         p))
 
+    import shutil
+
+    from vcf2df_spark import datasource
+
+    wh = "/tmp/vcf2df_plans_wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    enc.write.partitionBy("partition_id").parquet(f"{wh}/blocks")
+    q = datasource.read_warehouse(spark, wh)
+    p = _fmt(q)
+    assert "BatchScan transcripts" in p and "Exchange" not in p, (
+        "datasource read must be a shuffle-free scan"
+    )
+    sections.append((
+        "datasource full read (shuffle-free decode)",
+        "format('transcripts'): one scan task per blocks file decodes its "
+        "co-located chunk groups — a BatchScan with ZERO Exchange, vs the "
+        "decode shuffle above. The production read path for views/SQL:", p))
+
+    q = datasource.scan_warehouse(spark, wh, ["turn_idx >= 2", "turn_idx <= 3"])
+    p = _fmt(q)
+    assert "BatchScan transcripts_pruned" in p and "Exchange" not in p
+    assert _nodes(p, "Filter") == 1, "Spark must re-apply the exact predicate"
+    sections.append((
+        "datasource pruned scan (zone-map pushdown)",
+        "scan_warehouse: the predicate reaches pushFilters (task-side chunk "
+        "pruning against zone maps) AND stays in the plan as an exact "
+        "Filter — pruning is conservative, exactness is Catalyst's:", p))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (generated from live plans)\n\n"

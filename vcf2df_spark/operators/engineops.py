@@ -76,13 +76,21 @@ def q_dynamic_roundtrip(spark, sf_dir):
 
 
 def q_scan_pruned(spark, sf_dir):
-    """Engine-through scan: encode the derived table, zone-map-prune chunks
-    on a turn_idx range AND an f64 extra-column range (round-3 dynamic zone
-    maps, order-preserving key), column-pruned decode, exact residual
-    filter, then checksums over the survivors. The oracle recomputes the
-    same filter on the derived table directly — equality proves pruning
-    never drops a qualifying row and decode is bit-exact on the pruned
-    subset."""
+    """Engine-through scan, BOTH read paths against one oracle: encode the
+    derived table, then (a) the programmatic scan — zone-map chunk pruning
+    on a turn_idx range AND an f64 extra-column range (order-preserving
+    key), column-pruned decode, exact residual filter — and (b) the
+    Catalyst path — the same predicate pushed through the
+    ``transcripts_pruned`` Python DataSource over the written warehouse
+    (task-side zone-map pruning, shuffle-free decode, Spark re-applies the
+    filters exactly). Checksums of both answers in one row; the oracle
+    recomputes the filter on the derived table directly and aliases each
+    checksum twice — equality proves neither path drops a qualifying row
+    and both decode bit-exactly."""
+    import re
+    import shutil
+
+    from vcf2df_spark.datasource import scan_warehouse
     from vcf2df_spark.decode import decode_blocks, group_keys
     from vcf2df_spark.encode import encode_transcripts
     from vcf2df_spark.scan import qualifying_chunks
@@ -94,6 +102,17 @@ def q_scan_pruned(spark, sf_dir):
     blocks = encode_transcripts(
         _derived(spark, sf_dir), num_partitions=8, chunk_rows=512
     ).cache()
+
+    def _sums(df):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            _h(F.col("conv_id")).alias("h_conv"),
+            _h(F.col("turn_idx").cast("string")).alias("h_turn"),
+            _h(F.col("role")).alias("h_role"),
+            _h(F.format_string("%.6f", "score")).alias("h_score"),
+        )
+
+    # (a) programmatic scan over the in-memory blocks
     qual = qualifying_chunks(
         blocks, turn_idx_range=(2, 5), col_ranges={"score": (100.0, 300.0)}
     )
@@ -103,13 +122,30 @@ def q_scan_pruned(spark, sf_dir):
         (F.col("turn_idx") >= 2) & (F.col("turn_idx") <= 5)
         & (F.col("score") >= 100.0) & (F.col("score") <= 300.0)
     )
-    return hit.agg(
-        F.count("*").alias("n_rows"),
-        _h(F.col("conv_id")).alias("h_conv"),
-        _h(F.col("turn_idx").cast("string")).alias("h_turn"),
-        _h(F.col("role")).alias("h_role"),
-        _h(F.format_string("%.6f", "score")).alias("h_score"),
+
+    # (b) Catalyst pushdown over the written warehouse (hive layout);
+    # fixed sf-keyed path, rebuilt per run (idempotent)
+    wh = "/tmp/vcf2df_scanpruned_" + re.sub(r"\W", "_", sf_dir.strip("/"))
+    shutil.rmtree(wh, ignore_errors=True)
+    blocks.write.partitionBy("partition_id").parquet(f"{wh}/blocks")
+    ds_hit = scan_warehouse(
+        spark, wh,
+        predicate=[
+            "turn_idx >= 2", "turn_idx <= 5",
+            "score >= 100.0", "score <= 300.0",
+        ],
+        columns=["conv_id", "turn_idx", "role", "score"],
     )
+    out = _sums(hit).crossJoin(
+        _sums(ds_hit).select(
+            F.col("n_rows").alias("n_rows_ds"),
+            F.col("h_conv").alias("h_conv_ds"),
+            F.col("h_turn").alias("h_turn_ds"),
+            F.col("h_role").alias("h_role_ds"),
+            F.col("h_score").alias("h_score_ds"),
+        )
+    )
+    return out
 
 
 QUERIES = {
@@ -169,7 +205,12 @@ ORACLES = {
                {_sql_h("conv_id")} AS h_conv,
                {_sql_h("CAST(turn_idx AS VARCHAR)")} AS h_turn,
                {_sql_h("role")} AS h_role,
-               {_sql_h("printf('%.6f', score)")} AS h_score
+               {_sql_h("printf('%.6f', score)")} AS h_score,
+               count(*) AS n_rows_ds,
+               {_sql_h("conv_id")} AS h_conv_ds,
+               {_sql_h("CAST(turn_idx AS VARCHAR)")} AS h_turn_ds,
+               {_sql_h("role")} AS h_role_ds,
+               {_sql_h("printf('%.6f', score)")} AS h_score_ds
         FROM t
         WHERE turn_idx >= 2 AND turn_idx <= 5
           AND score >= 100.0 AND score <= 300.0
