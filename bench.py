@@ -64,7 +64,7 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
         src = normalize_input(spark.read.parquet(input_path))
         n_rows = src.count()
 
-        enc_t, dec_t, ver_t = [], [], []
+        enc_t, dec_t, scan_t, ver_t = [], [], [], []
         mismatch = 0
         n_dec = -1
         for cycle in range(cycles + 1):  # cycle 0 = warm-up
@@ -81,6 +81,15 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             n_dec = decoded.count()
             t_decode = time.time() - t0
 
+            # the production read path: shuffle-free datasource scan
+            # (schema inference + per-file in-place decode, no Exchange)
+            from vcf2df_spark.datasource import read_warehouse
+
+            t0 = time.time()
+            n_scan = read_warehouse(spark, warehouse).count()
+            t_scan = time.time() - t0
+            assert n_scan == n_dec, "datasource read row-count mismatch"
+
             t0 = time.time()
             res = multiset_equal(src, decoded)
             mismatch += 0 if res["equal"] else 1
@@ -88,6 +97,7 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             if cycle:
                 enc_t.append(t_encode)
                 dec_t.append(t_decode)
+                scan_t.append(t_scan)
                 ver_t.append(t_verify)
 
         # query/scan-path timings (round-3): zone-map pruning or SQL-view
@@ -137,6 +147,7 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             "mismatch_rows": mismatch,
             "encode_sec": round(med(enc_t), 2),
             "decode_sec": round(med(dec_t), 2),
+            "decode_scan_sec": round(med(scan_t), 2),
             "verify_sec": round(med(ver_t), 2),
             "encode_runs_sec": [round(t, 2) for t in enc_t],
             "turns_per_sec_encode": int(n_rows / med(enc_t)),
@@ -241,6 +252,7 @@ def main() -> None:
         "queries": {
             "encode": r["encode_sec"],
             "decode": r["decode_sec"],
+            "decode_scan": r["decode_scan_sec"],
             "verify_bit_identity": r["verify_sec"],
         },
         "point_lookup_ms": r["point_lookup_ms"],

@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--deep", action="store_true",
                    help="exact exceptAll comparison (two full-data shuffles) "
                         "instead of the O(1)-shuffle multiset signature")
+    p.add_argument("--reader", choices=["scan", "grouped"], default="scan",
+                   help="scan = shuffle-free datasource read (production "
+                        "path; also asserts chunk-group completeness); "
+                        "grouped = groupBy+applyInArrow decode")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -42,7 +46,12 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.time()
 
     blocks = spark.read.parquet(f"{args.warehouse}/blocks")
-    decoded = decode_blocks(blocks)
+    if args.reader == "scan":
+        from vcf2df_spark.datasource import read_warehouse
+
+        decoded = read_warehouse(spark, args.warehouse)
+    else:
+        decoded = decode_blocks(blocks)
     source = normalize_input(spark.read.parquet(args.source))
 
     # manifest integrity: recompute each partition's content checksum from
