@@ -268,10 +268,18 @@ class TranscriptReader(DataSourceReader):
     every re-plan and keeps the cache consistent.
     """
 
-    def __init__(self, options: dict, schema: T.StructType):
+    def __init__(
+        self,
+        options: dict,
+        schema: T.StructType,
+        ctypes: dict[str, str] | None = None,
+    ):
         self.root = _blocks_root(options)
         self.schema = schema
-        self.ctypes = infer_ctypes(self.root)
+        # the metadata projection is computed once per load (DataSource
+        # pickles it through to every planning cycle); only a
+        # user-specified-schema load has to infer here
+        self.ctypes = ctypes if ctypes is not None else infer_ctypes(self.root)
         self.pushed: list[Filter] = []
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -363,10 +371,15 @@ class TranscriptDataSource(DataSource):
     def name(cls) -> str:
         return "transcripts"
 
+    def _ctypes(self) -> dict[str, str]:
+        if getattr(self, "_ctypes_cache", None) is None:
+            self._ctypes_cache = infer_ctypes(_blocks_root(self.options))
+        return self._ctypes_cache
+
     def schema(self) -> T.StructType:
         from .decode import _column_order
 
-        ctypes = infer_ctypes(_blocks_root(self.options))
+        ctypes = self._ctypes()
         cols = _column_order(ctypes)
         if self.options.get("columns"):
             keep = [c.strip() for c in self.options["columns"].split(",")]
@@ -379,7 +392,9 @@ class TranscriptDataSource(DataSource):
         )
 
     def reader(self, schema: T.StructType) -> TranscriptReader:
-        return TranscriptReader(self.options, schema)
+        return TranscriptReader(
+            self.options, schema, getattr(self, "_ctypes_cache", None)
+        )
 
 
 class PrunedTranscriptDataSource(TranscriptDataSource):
@@ -393,7 +408,9 @@ class PrunedTranscriptDataSource(TranscriptDataSource):
         return "transcripts_pruned"
 
     def reader(self, schema: T.StructType) -> PrunedTranscriptReader:
-        return PrunedTranscriptReader(self.options, schema)
+        return PrunedTranscriptReader(
+            self.options, schema, getattr(self, "_ctypes_cache", None)
+        )
 
 
 _registered: set[int] = set()
