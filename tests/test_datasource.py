@@ -153,6 +153,13 @@ def test_epoch_layout(spark, tmp_path):
     n1 = got.filter("conv_id LIKE 'e1-%'").count()
     ref = decode_blocks(spark.read.parquet(f"{root}/blocks")).count()
     assert n0 > 0 and n1 > 0 and n0 + n1 == got.count() == ref
+    # pruned scan across epochs: prefix pushdown keeps epoch identity
+    assert (
+        datasource.scan_warehouse(
+            spark, root, F.col("conv_id").startswith("e1-")
+        ).count()
+        == n1
+    )
 
 
 def test_task_side_pruning_skips_chunks(spark, wh, ref):
