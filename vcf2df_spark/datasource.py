@@ -304,6 +304,8 @@ class TranscriptReader(DataSourceReader):
         need_cols = want_set | {
             f.attribute[0] for f in self.pushed if getattr(f, "attribute", None)
         }
+        import pyarrow.compute as pc
+
         cols = [
             "chunk_idx", "column", "codec", "n_rows", "payload", "aux",
             "meta", "stat_min_str", "stat_max_str", "stat_min_num",
@@ -311,19 +313,22 @@ class TranscriptReader(DataSourceReader):
         ]
         if "partition_id" not in partition.hive:  # flat layout: data column
             cols.insert(0, "partition_id")
-        tbl = pq.read_table(partition.file_path, columns=cols)
+        # row filter in the parquet reader: payloads of columns outside the
+        # projection (and "__" marker rows) never become Python objects
+        tbl = pq.read_table(
+            partition.file_path,
+            columns=cols,
+            filters=pc.field("column").isin(sorted(need_cols)),
+        )
         rows = tbl.to_pylist()
         groups: dict[tuple, dict[str, dict]] = {}
         for r in rows:
-            col = r["column"]
-            if col.startswith("__") or col not in need_cols:
-                continue
             key = (
                 partition.hive.get("partition_id", r.get("partition_id")),
                 r["chunk_idx"],
                 partition.hive.get("epoch"),
             )
-            groups.setdefault(key, {})[col] = r
+            groups.setdefault(key, {})[r["column"]] = r
 
         out_schema = to_arrow_schema(self.schema)
         data_cols = [c for c in self.ctypes if c in want_set]
