@@ -460,6 +460,10 @@ def scan_warehouse(
     relation before it is returned, so every downstream action carries at
     least these filters — each re-plan runs a fresh pushdown cycle, which
     is what keeps Spark 4.1's cached readInfo consistent under reuse.
+
+    With ``columns``, every column the predicate references must be in the
+    projection (Spark resolves the filter against the scan output; a
+    missing column fails analysis loudly, exactly like selecting it).
     """
     register(spark)
     r = spark.read.format("transcripts_pruned")
