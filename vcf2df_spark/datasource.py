@@ -134,8 +134,13 @@ def _hive_keys(file_path: str, root: str) -> dict[str, int]:
 # ---------------------------------------------------------------------------
 
 
-def _stat_key(ctype: str, value: Any):
+def _stat_key(ctype: str, value: Any, side: str = "lo"):
     """Predicate bound -> the key domain encode recorded for this ctype.
+
+    ``side`` ("lo"/"hi") matters only for doubles: Spark treats -0.0 and
+    +0.0 as equal in predicates, so a zero bound expands to cover both
+    keys (zonemap.f64_lo_key / f64_hi_key) — without this, ``score = 0.0``
+    would prune a chunk holding only -0.0 and silently drop its rows.
 
     Returns (kind, key) with kind in {"str", "num"}; None when the value
     can't be mapped (unknown type) — callers must treat that as overlap.
@@ -147,7 +152,9 @@ def _stat_key(ctype: str, value: Any):
     if ctype == "f64":
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             return None
-        return ("num", zonemap.f64_key(float(value)))
+        v = float(value)
+        return ("num",
+                zonemap.f64_lo_key(v) if side == "lo" else zonemap.f64_hi_key(v))
     if ctype == "ts":
         if isinstance(value, _dt.datetime):
             if value.tzinfo is None:
@@ -222,11 +229,11 @@ def _overlap_range(
     if smin is None or smax is None:
         return True
     if lo is not None:
-        klo = _stat_key(ctype, lo)
+        klo = _stat_key(ctype, lo, "lo")
         if klo is not None and (smax < klo[1] or (lo_strict and smax <= klo[1])):
             return False
     if hi is not None:
-        khi = _stat_key(ctype, hi)
+        khi = _stat_key(ctype, hi, "hi")
         if khi is not None and (smin > khi[1] or (hi_strict and smin >= khi[1])):
             return False
     return True

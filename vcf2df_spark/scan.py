@@ -63,9 +63,11 @@ def _range_spec(col: str, lo, hi):
             None if lo is None else int(lo), None if hi is None else int(hi)
         )
     if isinstance(probe, float):
+        # lo/hi mapped separately: Spark-equal -0.0/+0.0 expand to cover
+        # both keys (zonemap.f64_lo_key docstring)
         return _overlap_num(
-            None if lo is None else zonemap.f64_key(lo),
-            None if hi is None else zonemap.f64_key(hi),
+            None if lo is None else zonemap.f64_lo_key(lo),
+            None if hi is None else zonemap.f64_hi_key(hi),
         )
     if isinstance(probe, _dt.datetime):
         return _overlap_num(

@@ -33,3 +33,23 @@ def f64_key_array(values: np.ndarray) -> np.ndarray:
 def f64_key(value: float) -> int:
     """Scalar helper for predicate bounds on the scan side."""
     return int(f64_key_array(np.array([value], dtype=np.float64))[0])
+
+
+def f64_lo_key(value: float) -> int:
+    """Lower predicate bound -> key, under SPARK comparison semantics.
+
+    The total-order key space separates -0.0 < +0.0, but Spark predicates
+    treat them as equal (``score = 0.0`` matches -0.0 rows). A zero lower
+    bound therefore maps to key(-0.0) so chunks holding only -0.0 are
+    never pruned away from a predicate that matches them. (NaN bounds need
+    no special case: Spark 4.1 predicate comparisons with NaN are all
+    false — IEEE — so no row ever matches and any pruning outcome is
+    vacuously safe.)
+    """
+    return f64_key(-0.0) if value == 0 else f64_key(value)
+
+
+def f64_hi_key(value: float) -> int:
+    """Upper predicate bound -> key; zero maps to key(+0.0) (see
+    :func:`f64_lo_key`)."""
+    return f64_key(0.0) if value == 0 else f64_key(value)
