@@ -24,11 +24,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
     p.add_argument("--limit", type=int, default=100,
                    help="max rows printed (the full result still computes)")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated projection: only these columns' "
+                        "blocks are read and decoded (Catalyst does not "
+                        "yet push column pruning into Python sources, so "
+                        "narrow queries should pass their columns here)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from vcf2df_spark.scan import register_transcript_view
+    from vcf2df_spark.datasource import read_warehouse
     from vcf2df_spark.session import get_spark
     from vcf2df_spark.shipping import ensure_shipped
 
@@ -36,7 +41,10 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(master=args.master, app_name="query")
     ensure_shipped(spark)
     t0 = time.time()
-    register_transcript_view(spark, args.warehouse, args.view_name)
+    cols = args.columns.split(",") if args.columns else None
+    read_warehouse(spark, args.warehouse, columns=cols).createOrReplaceTempView(
+        args.view_name
+    )
     out = spark.sql(args.sql)
     rows = out.limit(args.limit).collect()
     # only pay a second decode pass for the total when the limit truncated

@@ -46,6 +46,7 @@ from typing import Any, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -376,6 +377,88 @@ class PrunedTranscriptReader(TranscriptReader):
         return list(filters)
 
 
+class TranscriptStreamReader(DataSourceStreamReader):
+    """The warehouse as a STREAMING source: tail committed epochs.
+
+    ``spark.readStream.format("transcripts").load(warehouse)`` turns a
+    streaming warehouse (epoch=N block dirs, written by
+    ``streaming.incremental_encode``) into a Structured Streaming source
+    for downstream incremental pipelines: each micro-batch decodes the
+    epochs committed since the last offset, through the same in-place
+    chunk decode as the batch reader.
+
+    Exactly-once hinges on the writer's commit convention: an epoch's
+    blocks are durable only once ``manifests/epoch=N`` exists
+    (blocks-first, manifest-commit-last). ``latestOffset`` therefore
+    advances over COMMITTED epochs only, so a crash mid-epoch is invisible
+    here — the restarted writer overwrites the partial epoch dir and then
+    commits it, and only then does the offset include it. Epoch ids from
+    one streaming query are monotone, so the committed set only grows.
+    A batch warehouse (no epoch dirs, but blocks present) is exposed as a
+    single epoch 0 — stream-reading it yields everything once.
+    """
+
+    def __init__(self, options: dict, schema: T.StructType,
+                 ctypes: dict[str, str] | None = None):
+        self._batch = TranscriptReader(options, schema, ctypes)
+        self.warehouse = (options.get("path") or options.get("warehouse")).rstrip("/")
+
+    def _committed_epochs(self) -> list[int]:
+        import re
+
+        import pyarrow.dataset as pads
+        from pyarrow import fs as pafs
+
+        root = f"{self.warehouse}/manifests"
+        try:
+            filesystem, path = pafs.FileSystem.from_uri(root) \
+                if "://" in root else (pafs.LocalFileSystem(), root)
+            infos = filesystem.get_file_info(
+                pafs.FileSelector(path, recursive=False)
+            )
+        except (FileNotFoundError, OSError):
+            # no manifests at all: a plain batch warehouse is one epoch
+            try:
+                if _dataset(self._batch.root).files:
+                    return [0]
+            except (FileNotFoundError, OSError):
+                pass
+            return []
+        out = []
+        for info in infos:
+            m = re.match(r"epoch=(\d+)$", info.base_name)
+            if m:
+                out.append(int(m.group(1)))
+        if not out:
+            # manifests exist but not epoch-partitioned: batch warehouse
+            return [0] if _dataset(self._batch.root).files else []
+        return sorted(out)
+
+    def initialOffset(self) -> dict:
+        return {"epoch": -1}
+
+    def latestOffset(self) -> dict:
+        epochs = self._committed_epochs()
+        return {"epoch": epochs[-1] if epochs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["epoch"]), int(end["epoch"])
+        epochs = [e for e in self._committed_epochs() if lo < e <= hi]
+        files: list[_BlocksFilePartition] = []
+        root = self._batch.root
+        for f in _dataset(root).files:
+            hive = _hive_keys(f, root)
+            if hive.get("epoch", 0) in epochs:
+                files.append(_BlocksFilePartition(f, hive))
+        return files
+
+    def read(self, partition: _BlocksFilePartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derived from the durable manifests commit log
+
+
 class TranscriptDataSource(DataSource):
     """``spark.read.format("transcripts").load(warehouse)``."""
 
@@ -405,6 +488,11 @@ class TranscriptDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> TranscriptReader:
         return TranscriptReader(
+            self.options, schema, getattr(self, "_ctypes_cache", None)
+        )
+
+    def streamReader(self, schema: T.StructType) -> TranscriptStreamReader:
+        return TranscriptStreamReader(
             self.options, schema, getattr(self, "_ctypes_cache", None)
         )
 
