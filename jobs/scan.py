@@ -42,12 +42,26 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({"conv_id": args.conv_id, "n_turns": len(pdf)}))
         print(pdf.head(args.limit).to_string())
     else:
+        from pyspark.sql import functions as F
+
+        from vcf2df_spark.datasource import read_warehouse, scan_warehouse
+
         cols = args.columns.split(",") if args.columns else None
-        df = scan.scan_transcripts(
-            spark, args.warehouse, columns=cols,
-            conv_id_range=tuple(args.conv_range) if args.conv_range else None,
-            turn_idx_range=tuple(args.turn_range) if args.turn_range else None,
-        )
+        preds = []
+        if args.conv_range:
+            lo, hi = args.conv_range
+            preds += [F.col("conv_id") >= lo, F.col("conv_id") <= hi]
+            if cols and "conv_id" not in cols:
+                cols.append("conv_id")
+        if args.turn_range:
+            lo, hi = args.turn_range
+            preds += [F.col("turn_idx") >= int(lo), F.col("turn_idx") <= int(hi)]
+            if cols and "turn_idx" not in cols:
+                cols.append("turn_idx")
+        # predicates ride the pushdown format (task-side zone-map pruning,
+        # Spark re-applies exactly); a bare dump rides the safe format
+        df = (scan_warehouse(spark, args.warehouse, preds, columns=cols)
+              if preds else read_warehouse(spark, args.warehouse, columns=cols))
         n = df.count()
         print(json.dumps({"rows_matched": n}))
         df.show(args.limit, truncate=60)
