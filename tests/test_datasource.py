@@ -273,3 +273,32 @@ def test_nan_payload_chunks_are_safe(spark, tmp_path):
         assert got == truth, cond
     # NaN bit-pattern identity itself is covered by the codec/property
     # tests and the f64_bits e2e verifier
+
+
+def test_ts_range_pushdown(spark, wh, ref):
+    """Timestamp predicates reach the pruner as datetimes and compare in
+    unix-micros key space; results must match Spark's exact filter."""
+    import datetime as dt
+
+    mid = ref[len(ref) // 2].ts
+    cond = f"ts >= timestamp'{mid.strftime('%Y-%m-%d %H:%M:%S')}'"
+    got = datasource.scan_warehouse(spark, wh, cond).count()
+    want = (
+        datasource.read_warehouse(spark, wh).filter(cond).count()
+    )
+    assert got == want > 0
+    # and the pure overlap test with aware/naive datetimes
+    from vcf2df_spark.datasource import chunk_overlaps
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    stats = {"ts": {"stat_min_num": 1_000_000, "stat_max_num": 2_000_000}}
+    ctypes = {"ts": "ts"}
+    t0 = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    assert chunk_overlaps(
+        [GreaterThanOrEqual(("ts",), t0 + dt.timedelta(seconds=1))],
+        stats, ctypes)
+    assert not chunk_overlaps(
+        [GreaterThanOrEqual(("ts",), t0 + dt.timedelta(seconds=3))],
+        stats, ctypes)
+    assert not chunk_overlaps(
+        [LessThan(("ts",), t0 + dt.timedelta(seconds=1))], stats, ctypes)
