@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> None:
                         "stats pass and the writes; disk_only avoids "
                         "evicting executor memory when blocks-per-executor "
                         "exceed RAM at large scale")
+    p.add_argument("--shard-dirs", type=int, default=0,
+                   help="two-level blocks layout: shard=partition_id%%N dirs "
+                        "above the partition_id dirs. At ~400k partitions a "
+                        "single directory level strains object-store "
+                        "listings; N~1024 keeps every level small. Layout "
+                        "only — chunk identity and all readers unchanged.")
     p.add_argument("--on-duplicates", choices=["fail", "quarantine", "ignore"],
                    default="fail",
                    help="input invariant: (conv_id, turn_idx) must be unique. "
@@ -162,9 +168,19 @@ def main(argv: list[str] | None = None) -> None:
     balance = round(psizes["mx"] / max(psizes["mean"], 1), 3)
 
     # blocks first (idempotent per-partition overwrite), manifest commit last
-    blocks.write.mode("overwrite").partitionBy("partition_id").parquet(blocks_path)
+    if args.shard_dirs:
+        blocks.withColumn(
+            "shard", F.pmod(F.col("partition_id"), F.lit(args.shard_dirs))
+        ).write.mode("overwrite").partitionBy("shard", "partition_id").parquet(
+            blocks_path
+        )
+    else:
+        blocks.write.mode("overwrite").partitionBy("partition_id").parquet(
+            blocks_path
+        )
     manifests = manifest.build_manifests(
-        blocks, args.job_id, args.input, num_partitions=args.partitions
+        blocks, args.job_id, args.input, num_partitions=args.partitions,
+        shard_dirs=args.shard_dirs or None,
     )
     manifests.write.mode("append").parquet(manifests_path)
     wall = time.time() - t0

@@ -69,5 +69,8 @@ MANIFEST_SCHEMA = T.StructType(
         # (sparkhash.pkey_for) instead of scanning stats — O(splits) dirs
         T.StructField("num_partitions", T.IntegerType(), True),
         T.StructField("turn_max", T.LongType(), True),
+        # two-level blocks layout: shard=partition_id%shard_dirs above the
+        # partition dirs (null = single-level); readers derive dir paths
+        T.StructField("shard_dirs", T.IntegerType(), True),
     ]
 )

@@ -58,6 +58,7 @@ def build_manifests(
     job_id: str,
     input_path: str,
     num_partitions: int | None = None,
+    shard_dirs: int | None = None,
 ) -> DataFrame:
     """Aggregate block rows into one committed manifest row per partition.
 
@@ -146,6 +147,7 @@ def build_manifests(
         "conv_max",
         F.lit(num_partitions).cast("int").alias("num_partitions"),
         "turn_max",
+        F.lit(shard_dirs).cast("int").alias("shard_dirs"),
     )
 
 

@@ -133,23 +133,37 @@ def _manifest_conv_partitions(warehouse: str, conv_id: str) -> list[int] | None:
     from .encode import TURNS_PER_SPLIT
     from .sparkhash import pkey_for
 
+    return _route(warehouse, conv_id)[0]
+
+
+def _route(warehouse: str, conv_id: str):
+    """(partition ids or None, shard_dirs or None) from the manifests."""
+    import pyarrow.dataset as pads
+
+    from .encode import TURNS_PER_SPLIT
+    from .sparkhash import pkey_for
+
     try:
         d = pads.dataset(
             f"{warehouse}/manifests", format="parquet", partitioning="hive"
         )
         names = d.schema.names
         if "conv_min" not in names or "conv_max" not in names:
-            return None
+            return None, None
         cols = ["partition_id", "conv_min", "conv_max"] + [
-            c for c in ("num_partitions", "turn_max") if c in names
+            c for c in ("num_partitions", "turn_max", "shard_dirs")
+            if c in names
         ]
         t = d.to_table(
             columns=cols, filter=pads.field("status") == "committed"
         ).to_pylist()
     except (FileNotFoundError, OSError):
-        return None
+        return None, None
     if not t:
-        return None
+        return None, None
+
+    shard_vals = {r.get("shard_dirs") for r in t} - {None}
+    shard_dirs = shard_vals.pop() if len(shard_vals) == 1 else None
 
     mods = {r.get("num_partitions") for r in t}
     turn_maxes = [r.get("turn_max") for r in t]
@@ -157,7 +171,7 @@ def _manifest_conv_partitions(warehouse: str, conv_id: str) -> list[int] | None:
         n_splits = max(turn_maxes) // TURNS_PER_SPLIT + 1
         return sorted(
             {pkey_for(conv_id, s, n) for n in mods for s in range(n_splits)}
-        )
+        ), shard_dirs
 
     # range fallback: keep rows whose conv range covers the key (or whose
     # range is unknown)
@@ -167,7 +181,7 @@ def _manifest_conv_partitions(warehouse: str, conv_id: str) -> list[int] | None:
             for r in t
             if r["conv_min"] is None or r["conv_min"] <= conv_id <= r["conv_max"]
         }
-    )
+    ), shard_dirs
 
 
 def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
@@ -198,9 +212,32 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
     from .decode import _CORE_CTYPES, _column_order
 
     root = f"{warehouse}/blocks"
-    dset = pads.dataset(root, format="parquet", partitioning="hive")
-    names = dset.schema.names
-    ck = ["partition_id", "chunk_idx"] + (["epoch"] if "epoch" in names else [])
+
+    # routing first: with hash metadata the lookup opens EXACTLY the routed
+    # partition dirs — no whole-tree dataset discovery, which at ~400k
+    # partition dirs is the dominant cost. Falls back to one hive-discovered
+    # dataset over the tree (bench/flat/epoch layouts, legacy manifests).
+    pids, shard_dirs = _route(warehouse, conv_id)
+    sources: list[tuple] = []  # (dataset, fixed_key_dict)
+    if pids is not None:
+        for pid in pids:
+            cand_dirs = [f"{root}/partition_id={pid}"]
+            if shard_dirs:
+                cand_dirs.insert(
+                    0, f"{root}/shard={pid % shard_dirs}/partition_id={pid}"
+                )
+            for d in cand_dirs:
+                try:
+                    sources.append(
+                        (pads.dataset(d, format="parquet"),
+                         {"partition_id": pid})
+                    )
+                    break
+                except (FileNotFoundError, OSError):
+                    continue
+    if not sources:
+        dset = pads.dataset(root, format="parquet", partitioning="hive")
+        sources = [(dset, {})]
 
     def _decode_str_row(r, n, lo=0, hi=None):
         m = json.loads(r["meta"])
@@ -209,33 +246,42 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
             return arrow_ops.decode_string_column(r["codec"], payload, aux, m, n)
         return arrow_ops.decode_string_rows(r["codec"], payload, aux, m, n, lo, hi)
 
-    # phase A — locate: candidate chunks from zone maps (manifests route to
-    # ~1 hive dir first), then decode ONLY their conv_id blocks (bytes per
-    # conversation, strnum/dict-coded) and bisect for the exact row span.
-    # Under hash partitioning every chunk's conv range spans the keyspace,
-    # so this phase must stay cheap even when zone maps can't prune:
-    # payload bytes of the OTHER columns are not touched here.
-    cand_filter = (
-        (pads.field("column") == "conv_id")
-        & (pads.field("stat_min_str") <= conv_id)
-        & (pads.field("stat_max_str") >= conv_id)
-    )
-    pids = _manifest_conv_partitions(warehouse, conv_id)
-    if pids is not None:
-        cand_filter = cand_filter & pads.field("partition_id").isin(pids)
-    cand = dset.to_table(
-        columns=ck + ["codec", "n_rows", "payload", "aux", "meta"],
-        filter=cand_filter,
-    ).to_pylist()
+    def _key_of(r, fixed):
+        return (
+            fixed.get("partition_id", r.get("partition_id")),
+            r["chunk_idx"],
+            r.get("epoch"),
+        )
 
-    hits: list[tuple[tuple, int, int, list[str]]] = []  # (key, lo, hi, ids)
-    for r in cand:
-        n = int(r["n_rows"])
-        cids = _decode_str_row(r, n).to_pylist()
-        lo = bisect.bisect_left(cids, conv_id)   # chunk is sorted by conv_id
-        hi = bisect.bisect_right(cids, conv_id)
-        if hi > lo:
-            hits.append((tuple(r[k] for k in ck), lo, hi, cids[lo:hi]))
+    # phase A — locate: candidate chunks from zone maps, then decode ONLY
+    # their conv_id blocks (bytes per conversation, strnum/dict-coded) and
+    # bisect for the exact row span. Under hash partitioning every chunk's
+    # conv range spans the keyspace, so this phase must stay cheap even
+    # when zone maps can't prune: payload bytes of the OTHER columns are
+    # not touched here.
+    hits: list[tuple[int, tuple, int, int, list[str]]] = []
+    for si, (dset, fixed) in enumerate(sources):
+        names = dset.schema.names
+        extra_keys = [c for c in ("partition_id", "epoch") if c in names]
+        cand_filter = (
+            (pads.field("column") == "conv_id")
+            & (pads.field("stat_min_str") <= conv_id)
+            & (pads.field("stat_max_str") >= conv_id)
+        )
+        if not fixed and pids is not None and "partition_id" in names:
+            cand_filter = cand_filter & pads.field("partition_id").isin(pids)
+        cand = dset.to_table(
+            columns=["chunk_idx", "codec", "n_rows", "payload", "aux", "meta"]
+            + extra_keys,
+            filter=cand_filter,
+        ).to_pylist()
+        for r in cand:
+            n = int(r["n_rows"])
+            cids = _decode_str_row(r, n).to_pylist()
+            lo = bisect.bisect_left(cids, conv_id)  # chunk sorted by conv_id
+            hi = bisect.bisect_right(cids, conv_id)
+            if hi > lo:
+                hits.append((si, _key_of(r, fixed), lo, hi, cids[lo:hi]))
 
     if not hits:
         # empty-result schema from the warehouse's own metadata, so a
@@ -247,23 +293,28 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
 
     # phase B — fetch: full block rows for ONLY the chunks that truly
     # contain the conversation (typically one)
-    expr = None
-    for key, _, _, _ in hits:
-        e = None
-        for k, v in zip(ck, key):
-            cond = pads.field(k) == v
-            e = cond if e is None else e & cond
-        expr = e if expr is None else expr | e
-    rows = dset.to_table(filter=expr).to_pylist()
     by_chunk: dict[tuple, dict[str, dict]] = {}
-    for r in rows:
-        if r["column"].startswith("__"):
+    for si, (dset, fixed) in enumerate(sources):
+        keys = [key for s, key, _, _, _ in hits if s == si]
+        if not keys:
             continue
-        by_chunk.setdefault(tuple(r[k] for k in ck), {})[r["column"]] = r
+        names = dset.schema.names
+        expr = None
+        for key in keys:
+            e = pads.field("chunk_idx") == key[1]
+            if "partition_id" in names:
+                e = e & (pads.field("partition_id") == key[0])
+            if "epoch" in names and key[2] is not None:
+                e = e & (pads.field("epoch") == key[2])
+            expr = e if expr is None else expr | e
+        for r in dset.to_table(filter=expr).to_pylist():
+            if r["column"].startswith("__"):
+                continue
+            by_chunk.setdefault(_key_of(r, fixed), {})[r["column"]] = r
 
     frames = []
     col_order: list[str] = []
-    for key, lo, hi, ids in hits:
+    for _si, key, lo, hi, ids in hits:
         cols = by_chunk[key]
         n = int(cols["conv_id"]["n_rows"])
         col_order = _column_order(cols)
