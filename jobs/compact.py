@@ -32,6 +32,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--warehouse", required=True, help="input warehouse (any layout)")
     p.add_argument("--out", required=True, help="output warehouse (must not exist)")
     p.add_argument("--partitions", type=int, default=32)
+    p.add_argument("--shard-dirs", type=int, default=0,
+                   help="two-level output layout (see jobs/encode.py)")
     p.add_argument("--job-id", default="compact")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -78,9 +80,15 @@ def main(argv: list[str] | None = None) -> None:
         F.sum("enc_bytes").alias("enc"),
     ).collect()[0]
 
-    blocks.write.partitionBy("partition_id").parquet(f"{args.out}/blocks")
+    if args.shard_dirs:
+        blocks.withColumn(
+            "shard", F.pmod(F.col("partition_id"), F.lit(args.shard_dirs))
+        ).write.partitionBy("shard", "partition_id").parquet(f"{args.out}/blocks")
+    else:
+        blocks.write.partitionBy("partition_id").parquet(f"{args.out}/blocks")
     manifest.build_manifests(
-        blocks, args.job_id, args.warehouse, num_partitions=args.partitions
+        blocks, args.job_id, args.warehouse, num_partitions=args.partitions,
+        shard_dirs=args.shard_dirs or None,
     ).write.parquet(f"{args.out}/manifests")
     blocks.unpersist()
 
