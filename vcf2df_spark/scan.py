@@ -128,11 +128,6 @@ def _manifest_conv_partitions(warehouse: str, conv_id: str) -> list[int] | None:
     bench/test warehouses — or legacy columns); rows with null metadata
     (legacy appends) conservatively disable the affected route.
     """
-    import pyarrow.dataset as pads
-
-    from .encode import TURNS_PER_SPLIT
-    from .sparkhash import pkey_for
-
     return _route(warehouse, conv_id)[0]
 
 
