@@ -71,3 +71,35 @@ def test_sharded_routed_point_lookup(spark, sharded):
     # the routed dir exists exactly where the layout says it should
     pid = pids[0]
     assert os.path.isdir(f"{wh}/blocks/shard={pid % 4}/partition_id={pid}")
+
+
+def test_routed_task_pruning_in_pruned_scan(spark, sharded):
+    """A pushed conv_id equality routes partitions() itself: only the
+    matching partition dirs' files become tasks (at 400k partitions a SQL
+    point lookup plans ~1 task, not 400k)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from vcf2df_spark.datasource import PrunedTranscriptDataSource
+
+    src, wh = sharded
+    ds = PrunedTranscriptDataSource({"path": wh})
+    reader = ds.reader(ds.schema())
+    total = len(reader.partitions())
+    reader.pushFilters([EqualTo(("conv_id",), "conv-00000042")])
+    routed = reader.partitions()
+    assert 1 <= len(routed) < total
+    rows = sum(b.num_rows for p in routed for b in reader.read(p))
+    assert rows > 0  # the conversation's chunk is inside the routed tasks
+
+    # e2e: SQL point lookup equals the unpruned truth
+    got = datasource.scan_warehouse(
+        spark, wh, "conv_id = 'conv-00000042'"
+    ).count()
+    want = datasource.read_warehouse(spark, wh).filter(
+        "conv_id = 'conv-00000042'"
+    ).count()
+    assert got == want > 0
+    # and a routed miss returns empty, not an error
+    assert datasource.scan_warehouse(
+        spark, wh, "conv_id = 'conv-does-not-exist'"
+    ).count() == 0

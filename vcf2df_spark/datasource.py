@@ -356,6 +356,13 @@ class TranscriptReader(DataSourceReader):
 
 
 class PrunedTranscriptReader(TranscriptReader):
+    def __init__(self, options: dict, schema: T.StructType,
+                 ctypes: dict[str, str] | None = None):
+        super().__init__(options, schema, ctypes)
+        self.warehouse = (
+            options.get("path") or options.get("warehouse")
+        ).rstrip("/")
+
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         """Record every filter usable for zone-map pruning; return ALL of
         them (eagerly — a lazy generator would never run if the engine
@@ -375,6 +382,55 @@ class PrunedTranscriptReader(TranscriptReader):
             and f.attribute[0] in self.ctypes
         ]
         return list(filters)
+
+    def _routed_pids(self) -> set[int] | None:
+        """Partition ids that can hold the pushed conv_id point keys, from
+        the manifests' hash-routing metadata. None = no routable filter or
+        no routing metadata (then every file is planned as usual)."""
+        from .scan import _route
+
+        keys: list[str] = []
+        for f in self.pushed:
+            if f.attribute[0] != "conv_id":
+                continue
+            if isinstance(f, EqualTo) and isinstance(f.value, str):
+                keys.append(f.value)
+            elif isinstance(f, In) and all(
+                isinstance(v, str) for v in f.value
+            ):
+                keys.extend(f.value)
+            else:
+                continue
+            break  # one conjunct suffices; others only narrow further
+        if not keys:
+            return None
+        pids: set[int] = set()
+        for k in keys:
+            p, _ = _route(self.warehouse, k)
+            if p is None:
+                return None  # no routing metadata -> plan everything
+            pids.update(p)
+        return pids
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """Task-level pruning for point lookups: a pushed conv_id
+        equality/IN routes through the manifests hash metadata, so only
+        the matching partition dirs' files become tasks — at ~400k
+        partitions that is 2 tasks instead of 400k. Files without a
+        partition_id hive key (flat layouts) are always planned; chunk
+        zone maps still prune inside every task."""
+        parts = super().partitions()
+        pids = self._routed_pids()
+        if pids is None:
+            return parts
+        kept = [
+            p for p in parts
+            if p.hive.get("partition_id") is None
+            or p.hive["partition_id"] in pids
+        ]
+        # a routed miss keeps one task (prunes to nothing task-side) rather
+        # than risking the empty-partition-list API edge
+        return kept if kept else parts[:1]
 
 
 class TranscriptStreamReader(DataSourceStreamReader):
