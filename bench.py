@@ -43,6 +43,38 @@ def bench_input(sf: float, mult: int = 1) -> str:
     return path
 
 
+FIXTURE_PINS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH",
+    "fixture_fingerprint.json",
+)
+
+
+def fixture_fingerprint(input_path: str, sf: float) -> dict:
+    """Cross-round comparability guard for the size gate (VERDICT r3 #4):
+    both sides of disk_vs_baseline are measured in the same environment, so
+    the gate itself always stands — but the checked-in pin (expected
+    fixture bytes + producing pyarrow version for the seed-42 generator)
+    makes parquet/zstd environment drift VISIBLE instead of silently moving
+    the denominator between rounds."""
+    import pyarrow
+
+    cur = {
+        "bytes": os.path.getsize(input_path),
+        "pyarrow": pyarrow.__version__,
+    }
+    try:
+        with open(FIXTURE_PINS) as f:
+            pin = json.load(f).get(f"sf{sf}")
+    except (FileNotFoundError, json.JSONDecodeError):
+        pin = None
+    cur["pinned_bytes"] = pin["bytes"] if pin else None
+    cur["drift_vs_pin"] = (
+        None if pin is None
+        else pin["bytes"] != cur["bytes"] or pin["pyarrow"] != cur["pyarrow"]
+    )
+    return cur
+
+
 def run_pipeline(master: str, input_path: str, warehouse: str,
                  partitions: int, cycles: int = 3) -> dict:
     """Full encode -> decode -> verify cycles in one session; per-phase
@@ -133,6 +165,24 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             sql_t.append(time.time() - t0)
         query_sql_sec = sorted(sql_t)[1]
 
+        # the column-pruned SQL surface (query.py's default): a role-only
+        # query registers a narrow view so text (~80% of bytes) is never
+        # decoded — this timing is the evidence that it pays off
+        from vcf2df_spark.scan import referenced_columns
+
+        qn = "SELECT role, count(*) AS n FROM bench_tn GROUP BY role"
+        register_transcript_view(
+            spark, warehouse, "bench_tn",
+            columns=referenced_columns(qn, decoded.columns),
+        )
+        spark.sql(qn).collect()  # warm-up
+        sqln_t = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.sql(qn).collect()
+            sqln_t.append(time.time() - t0)
+        query_sql_narrow_sec = sorted(sqln_t)[1]
+
         med = lambda xs: sorted(xs)[len(xs) // 2]
         stored = spark.read.parquet(f"{warehouse}/blocks")
         agg = stored.agg(F.sum("raw_bytes").alias("raw"),
@@ -156,6 +206,7 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             "disk_bytes": disk,
             "point_lookup_ms": int(med(lookup_t) * 1000),
             "query_sql_sec": round(query_sql_sec, 2),
+            "query_sql_narrow_sec": round(query_sql_narrow_sec, 2),
         }
     finally:
         spark.stop()
@@ -232,11 +283,19 @@ def main() -> None:
         # timescale, so block-sequential measurement poisons one side of
         # the ratio — pairing runs that are adjacent in time cancels the
         # drift, and the median across rounds is the reported number.
+        if args.rounds < 1:
+            p.error("--scaling needs --rounds >= 1")
         input_path = bench_input(sf, mult=16)
-        configs = ((1, 2), (4, 2), (1, 8), (4, 8))
+        # (2,2) sits below this host's ~8-busy-core saturation knee: the
+        # 1x2 -> 2x2 pair doubles cores without crossing it, so host
+        # memory-bandwidth contention cannot confound that efficiency —
+        # the clean evidence the 0.8 north rule asks for, reported
+        # alongside the contended 1x2 -> 4x2 (= 8 cores) number.
+        configs = ((1, 2), (2, 2), (4, 2), (1, 8), (4, 8))
         rounds = args.rounds
         per_round: list[dict] = []
         pooled: dict[str, list] = {f"{e}x{c}": [] for e, c in configs}
+        rows = None
         for _ in range(rounds):
             best = {}
             for execs, cores in configs:
@@ -246,11 +305,13 @@ def main() -> None:
                     timed=2)
                 best[label] = min(r["timed_runs_sec"])
                 pooled[label].extend(r["timed_runs_sec"])
-                rows = r["rows"]
+                if rows is None:
+                    rows = r["rows"]
             per_round.append(best)
         med = lambda xs: sorted(xs)[len(xs) // 2]
         eff_2 = [(rd["1x2"] / rd["4x2"]) / 4 for rd in per_round]
         eff_8 = [(rd["1x8"] / rd["4x8"]) / 4 for rd in per_round]
+        eff_knee = [(rd["1x2"] / rd["2x2"]) / 2 for rd in per_round]
         print(json.dumps({
             "metric": "encode scaling: N vs 4N executors (local-cluster)",
             "sf": sf,
@@ -258,6 +319,8 @@ def main() -> None:
             "per_round_best_sec": per_round,
             "all_runs_sec": pooled,
             "median_sec": {k: med(v) for k, v in pooled.items()},
+            "per_round_efficiency_1x2_to_2x2": [round(e, 3) for e in eff_knee],
+            "scaling_efficiency_1x2_to_2x2": round(med(eff_knee), 3),
             "per_round_efficiency_1x2_to_4x2": [round(e, 3) for e in eff_2],
             "scaling_efficiency_1x2_to_4x2": round(med(eff_2), 3),
             "scaling_efficiency_1x8_to_4x8": round(med(eff_8), 3),
@@ -282,6 +345,8 @@ def main() -> None:
         },
         "point_lookup_ms": r["point_lookup_ms"],
         "query_sql_sec": r["query_sql_sec"],
+        "query_sql_narrow_sec": r["query_sql_narrow_sec"],
+        "baseline_fixture_fingerprint": fixture_fingerprint(input_path, sf),
         "rows": r["rows"],
         "turns_per_sec_encode": r["turns_per_sec_encode"],
         "encode_runs_sec": r["encode_runs_sec"],

@@ -25,15 +25,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--limit", type=int, default=100,
                    help="max rows printed (the full result still computes)")
     p.add_argument("--columns", default=None,
-                   help="comma-separated projection: only these columns' "
-                        "blocks are read and decoded (Catalyst does not "
-                        "yet push column pruning into Python sources, so "
-                        "narrow queries should pass their columns here)")
+                   help="comma-separated projection override: only these "
+                        "columns' blocks are read and decoded. Default: "
+                        "derived from the SQL text (every warehouse column "
+                        "named in the query; '*' keeps all). Pass '*' to "
+                        "force the full schema. Catalyst does not push "
+                        "column pruning into Python sources, so this is "
+                        "what keeps 'SELECT role ...' from decoding text.")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from vcf2df_spark.datasource import read_warehouse
+    from vcf2df_spark.datasource import infer_ctypes, read_warehouse
+    from vcf2df_spark.scan import referenced_columns
     from vcf2df_spark.session import get_spark
     from vcf2df_spark.shipping import ensure_shipped
 
@@ -41,7 +45,15 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(master=args.master, app_name="query")
     ensure_shipped(spark)
     t0 = time.time()
-    cols = args.columns.split(",") if args.columns else None
+    if args.columns == "*":
+        cols = None
+    elif args.columns:
+        cols = [c.strip() for c in args.columns.split(",")]
+    else:
+        # infer_ctypes is O(partitions) on manifested warehouses (schema_sig)
+        cols = referenced_columns(
+            args.sql, list(infer_ctypes(f"{args.warehouse}/blocks"))
+        )
     read_warehouse(spark, args.warehouse, columns=cols).createOrReplaceTempView(
         args.view_name
     )

@@ -249,9 +249,11 @@ def test_negative_zero_predicates_never_drop_rows(spark, tmp_path):
 
 
 def test_nan_payload_chunks_are_safe(spark, tmp_path):
-    """Spark 4.1 predicate comparisons with NaN are all false (IEEE), so
-    NaN rows never match; chunks mixing NaN with in-range values must
-    still be kept for their matching rows (NaN only widens stats)."""
+    """Spark treats all NaNs as equal and greater than every other double
+    (NOT IEEE): ``score = NaN`` matches the NaN rows. Stats canonicalize
+    every NaN bit pattern to the single topmost key (zonemap.f64_key_array),
+    so chunks mixing NaN with in-range values are kept both for their
+    in-range rows and for NaN-equality predicates."""
     import numpy as np
 
     neg_nan = np.frombuffer(
@@ -302,3 +304,84 @@ def test_ts_range_pushdown(spark, wh, ref):
         stats, ctypes)
     assert not chunk_overlaps(
         [LessThan(("ts",), t0 + dt.timedelta(seconds=1))], stats, ctypes)
+
+
+# --- O(1) read planning from the manifests' schema signature (r4) -----------
+
+
+@pytest.fixture(scope="module")
+def mwh(spark, tmp_path_factory):
+    """Warehouse WITH manifests (the production encode-job layout): the
+    datasource must plan from the manifests' schema_sig, never from the
+    full blocks-metadata pull."""
+    from vcf2df_spark import manifest
+
+    root = str(tmp_path_factory.mktemp("mwh"))
+    src = normalize_input(
+        spark.createDataFrame(fixtures.transcripts_extended(n_convs=60))
+    )
+    blocks = encode_transcripts(src, num_partitions=2, chunk_rows=128)
+    blocks.write.partitionBy("partition_id").parquet(f"{root}/blocks")
+    manifest.build_manifests(
+        blocks, "job-r4", "mem", num_partitions=2
+    ).write.parquet(f"{root}/manifests")
+    return root
+
+
+def test_planning_reads_manifests_not_blocks(spark, mwh, monkeypatch):
+    """schema()/load on a manifested warehouse must resolve ctypes from the
+    O(partitions) schema_sig rows — the full blocks-metadata scan (the r3
+    100-TB planning bottleneck) must not run at all."""
+
+    def boom(_root):
+        raise AssertionError(
+            "planning fell back to the full blocks-metadata scan"
+        )
+
+    monkeypatch.setattr(datasource, "_ctypes_from_blocks", boom)
+    want = (
+        decode_blocks(spark.read.parquet(f"{mwh}/blocks"))
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    got = (
+        datasource.read_warehouse(spark, mwh)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert got == want
+    # pruned scans plan the same way
+    n = datasource.scan_warehouse(spark, mwh, "turn_idx >= 2").count()
+    assert n == sum(1 for r in want if r.turn_idx >= 2)
+
+
+def test_ctypes_from_manifests_matches_blocks_scan(mwh):
+    sig = datasource._ctypes_from_manifests(mwh)
+    full = datasource._ctypes_from_blocks(f"{mwh}/blocks")
+    assert sig == full
+    assert sig["score"] == "f64" and sig["conv_id"] == "str"
+
+
+def test_legacy_manifests_without_sig_fall_back(spark, mwh, tmp_path):
+    """Pre-r4 manifests (no schema_sig column) must not break planning —
+    the blocks fallback still resolves the schema."""
+    import shutil as _sh
+
+    root = str(tmp_path / "legacy")
+    _sh.copytree(f"{mwh}/blocks", f"{root}/blocks")
+    spark.read.parquet(f"{mwh}/manifests").drop("schema_sig").write.parquet(
+        f"{root}/manifests"
+    )
+    assert datasource._ctypes_from_manifests(root) is None
+    got = datasource.infer_ctypes(f"{root}/blocks")
+    assert got == datasource._ctypes_from_blocks(f"{root}/blocks")
+
+
+def test_scan_warehouse_rejects_empty_predicate(spark, mwh):
+    """A bare transcripts_pruned relation would carry stale pushdown state
+    under Spark 4.1's cached readInfo — the empty predicate list must fail
+    loudly instead of returning one (ADVICE r3)."""
+    with pytest.raises(ValueError, match="non-empty predicate"):
+        datasource.scan_warehouse(spark, mwh, [])
+    with pytest.raises(ValueError, match="non-empty predicate"):
+        datasource.scan_warehouse(spark, mwh, None)

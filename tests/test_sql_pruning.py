@@ -1,0 +1,114 @@
+"""Column-pruned SQL surface (VERDICT r3 #2): Spark cannot push Catalyst
+column pruning into Python data sources, so ``jobs/query.py`` derives the
+referenced columns from the SQL text and registers a NARROW view — a
+role-only query must never decode (or even load from parquet) the text
+payloads, which are ~80% of warehouse bytes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vcf2df_spark import datasource, fixtures, manifest
+from vcf2df_spark.encode import encode_transcripts, normalize_input
+from vcf2df_spark.scan import referenced_columns, register_transcript_view
+
+AVAILABLE = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "score"]
+
+
+@pytest.mark.parametrize(
+    "sql,want",
+    [
+        ("SELECT role, count(*) AS n FROM t GROUP BY role", ["role"]),
+        ("SELECT role, avg(length(text)) FROM t GROUP BY role",
+         ["role", "text"]),
+        ("SELECT * FROM t", None),
+        ("SELECT t.* FROM t", None),
+        ("SELECT count(*) FROM t", ["turn_idx"]),  # cheapest column carries n
+        ("SELECT conv_id FROM t WHERE score > 0.5 ORDER BY ts",
+         ["conv_id", "ts", "score"]),
+        # multiplication smells like '*': conservative full schema
+        ("SELECT score*2 FROM t", None),
+        # a column named only inside a literal over-includes — never wrong
+        ("SELECT role FROM t WHERE role = 'text'", ["role", "text"]),
+    ],
+)
+def test_referenced_columns(sql, want):
+    got = referenced_columns(sql, AVAILABLE)
+    if want is None:
+        assert got is None
+    else:
+        assert sorted(got) == sorted(want)
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sqlwh"))
+    src = normalize_input(
+        spark.createDataFrame(fixtures.transcripts_small(n_convs=80))
+    )
+    blocks = encode_transcripts(src, num_partitions=2, chunk_rows=256)
+    blocks.write.partitionBy("partition_id").parquet(f"{root}/blocks")
+    manifest.build_manifests(blocks, "sqljob", "mem", num_partitions=2).write.parquet(
+        f"{root}/manifests"
+    )
+    return root
+
+
+def test_narrow_view_loads_no_text_payload(spark, wh, monkeypatch):
+    """A role-only read must filter text block rows OUT at the parquet
+    reader (the `column` row filter), not merely drop them post-decode."""
+    import pyarrow.parquet as pq
+
+    seen_filters: list[str] = []
+    orig = pq.read_table
+
+    def spy(path, columns=None, filters=None, **kw):
+        seen_filters.append(str(filters))
+        return orig(path, columns=columns, filters=filters, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+    ds = datasource.TranscriptDataSource({"path": wh, "columns": "role"})
+    reader = ds.reader(ds.schema())
+    rows = 0
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows += batch.num_rows
+            assert batch.schema.names == ["role"]
+    assert rows > 0
+    assert seen_filters, "parquet reads must go through the row filter"
+    for f in seen_filters:
+        assert "role" in f and '"text"' not in f and "'text'" not in f
+
+
+def test_narrow_sql_view_matches_full(spark, wh):
+    """query.py's derived narrow view computes the same result as the full
+    view for a role-only aggregate."""
+    sql_t = "SELECT role, count(*) AS n FROM {v} GROUP BY role ORDER BY role"
+    available = list(datasource.infer_ctypes(f"{wh}/blocks"))
+    cols = referenced_columns(sql_t.format(v="narrow_v"), available)
+    assert cols == ["role"]
+    register_transcript_view(spark, wh, "narrow_v", columns=cols)
+    register_transcript_view(spark, wh, "full_v")
+    got = spark.sql(sql_t.format(v="narrow_v")).collect()
+    want = spark.sql(sql_t.format(v="full_v")).collect()
+    assert got == want and len(got) > 0
+
+
+def test_query_job_auto_derives(spark, wh, capsys):
+    """The CLI surface end-to-end: no --columns flag, narrow SQL, correct
+    result (the view the job registers is the derived-narrow one)."""
+    import json
+
+    import jobs.query as query_job
+
+    query_job.main([
+        "--warehouse", wh,
+        "--sql", "SELECT role, count(*) AS n FROM t GROUP BY role ORDER BY role",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    summary = lines[-1]
+    assert summary["status"] == "ok" and summary["rows"] > 0
+    roles = {r["role"]: r["n"] for r in lines[:-1]}
+    full = datasource.read_warehouse(spark, wh).groupBy("role").count().collect()
+    assert roles == {r["role"]: r["count"] for r in full}

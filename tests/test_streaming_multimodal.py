@@ -218,3 +218,77 @@ def test_incremental_encode_dynamic_schema(spark, tmp_path):
         r["score"].to_numpy().view(np.int64),
     )
     assert (l["model"].to_numpy() == r["model"].to_numpy()).all()
+
+
+def test_streaming_dedup_state_ttl(spark, tmp_path):
+    """Bounded dedup state (VERDICT r3 #4): entries idle past the EVENT-TIME
+    horizon are evicted (a later duplicate re-emits), while duplicates
+    within the horizon stay suppressed — the windowed-dedup contract an
+    unbounded 100-TB/day stream needs. One availableNow drain over five
+    staged files with crafted event times: deterministic, no sleeps (a
+    processing-time TTL never terminates under availableNow)."""
+    import os
+
+    import pandas as pd
+
+    from vcf2df_spark.blocks import TRANSCRIPT_SCHEMA
+
+    indir = tmp_path / "tin"
+    indir.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    src = fixtures.transcripts_small(n_convs=20)
+    n_distinct = src["text"].nunique()
+
+    def stamped(df, prefix, minutes):
+        out = df.copy()
+        if prefix:
+            out["conv_id"] = prefix + out["conv_id"]
+        out["ts"] = base + pd.Timedelta(minutes=minutes)
+        return out
+
+    fresh = fixtures.transcripts_small(n_convs=6, seed=99)
+    fresh["text"] = "fresh " + fresh["text"]
+    fresh2 = fixtures.transcripts_small(n_convs=6, seed=123)
+    fresh2["text"] = "fresh2 " + fresh2["text"]
+
+    files = [
+        ("a", stamped(src, "", 0)),         # originals at T0
+        ("b", stamped(src, "re-", 10)),     # duplicate INSIDE the horizon
+        ("c", stamped(fresh, "", 120)),     # advances watermark past a/b
+        ("d", stamped(fresh2, "", 121)),    # the batch that fires evictions
+        ("e", stamped(src, "late-", 180)),  # post-horizon duplicate
+    ]
+    for k, (name, df) in enumerate(files):
+        path = str(indir / f"{name}.parquet")
+        fixtures.write_parquet(df, path)
+        os.utime(path, (1e9 + 100 * k, 1e9 + 100 * k))  # pin batch order
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+        )
+        q = (
+            streaming.streaming_dedup(stream, state_ttl="30 minutes")
+            .writeStream.format("memory").queryName("ttl_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive, "availableNow drain must terminate"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    got = spark.sql("SELECT * FROM ttl_out").toPandas()
+    # within the horizon: suppressed exactly as the unbounded variant
+    assert not got["conv_id"].str.startswith("re-").any()
+    # after the horizon: state was evicted, the duplicate re-emits
+    assert got["conv_id"].str.startswith("late-").sum() == n_distinct
+    n_fresh = fresh["text"].nunique() + fresh2["text"].nunique()
+    assert len(got) == 2 * n_distinct + n_fresh

@@ -32,3 +32,27 @@ def test_key_order_matches_double_order(xs):
 
 def test_nan_maps_above_inf():
     assert f64_key(float("nan")) > f64_key(float("inf"))
+
+
+def test_negative_bitpattern_nan_canonicalized():
+    """Spark's semantics make every NaN equal and greatest; a sign-bit-set
+    NaN delivered by a non-Spark ingest must not key below -inf (it would
+    wrongly prune its chunk for ``x >= v`` and ``x = NaN``)."""
+    neg_nan = np.frombuffer(
+        np.uint64(0xFFF8000000000001).tobytes(), dtype=np.float64
+    )[0]
+    arr = np.array([neg_nan, float("nan"), -np.inf, 3.5], dtype=np.float64)
+    keys = f64_key_array(arr)
+    assert keys[0] == keys[1] == f64_key(float("nan"))
+    assert keys.max() == f64_key(float("nan"))
+
+    # the pure pruner keeps a chunk of such NaNs for NaN-matching predicates
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from vcf2df_spark.datasource import chunk_overlaps
+
+    stats = {"score": {"stat_min_num": int(keys.min()),
+                       "stat_max_num": int(keys.max())}}
+    ctypes = {"score": "f64"}
+    assert chunk_overlaps([GreaterThanOrEqual(("score",), 1.0)], stats, ctypes)
+    assert chunk_overlaps([EqualTo(("score",), float("nan"))], stats, ctypes)

@@ -72,5 +72,9 @@ MANIFEST_SCHEMA = T.StructType(
         # two-level blocks layout: shard=partition_id%shard_dirs above the
         # partition dirs (null = single-level); readers derive dir paths
         T.StructField("shard_dirs", T.IntegerType(), True),
+        # JSON column->ctype map for this partition's chunks: lets read
+        # planning resolve the warehouse schema from O(partitions) manifest
+        # rows instead of the full blocks metadata (datasource.infer_ctypes)
+        T.StructField("schema_sig", T.StringType(), True),
     ]
 )

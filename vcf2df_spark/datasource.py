@@ -85,15 +85,80 @@ def _dataset(root: str):
     return pads.dataset(root, format="parquet", partitioning="hive")
 
 
-def infer_ctypes(root: str) -> dict[str, str]:
-    """column -> ctype from the blocks' own metadata (footer analogue).
+def _merge_ctype(merged: dict[str, str], col: str, ct: str) -> None:
+    prev = merged.get(col)
+    if prev is not None and prev != ct:
+        raise ValueError(
+            f"conflicting ctypes for column {col!r}: {prev} vs {ct} — "
+            "heterogeneous encodes appended into one warehouse"
+        )
+    merged[col] = ct
 
-    One narrow (column, meta) projection over the blocks table, deduplicated
-    driver-side; conflicting ctypes for one column fail loudly (two encode
-    jobs with different schemas appended into one warehouse). Per-chunk
-    column-set completeness is asserted task-side in :meth:`read`, where the
-    chunk's rows are already in hand.
+
+def _ctypes_from_manifests(warehouse: str) -> dict[str, str] | None:
+    """column -> ctype from the manifests' ``schema_sig`` rows: O(partitions)
+    metadata instead of the full blocks pull — the read-planning analogue of
+    opening ONE Parquet footer (``converter/convert_test.go:63-97``) rather
+    than all of them.
+
+    The manifests are the commit log, so committed ``schema_sig`` rows ARE
+    the warehouse schema. Returns None (caller falls back to the blocks
+    scan) when the signature is unavailable: no manifests dir, pre-r4
+    manifests without the column, or any null signature rows mixed in.
     """
+    import pyarrow.dataset as pads
+
+    from .decode import _CORE_CTYPES
+
+    try:
+        d = pads.dataset(
+            f"{warehouse}/manifests", format="parquet", partitioning="hive"
+        )
+        if "schema_sig" not in d.schema.names:
+            return None
+        flt = (
+            pads.field("status") == "committed"
+            if "status" in d.schema.names else None
+        )
+        sigs = set(
+            d.to_table(columns=["schema_sig"], filter=flt)
+            .column("schema_sig").to_pylist()
+        )
+    except (FileNotFoundError, OSError):
+        return None
+    if not sigs or None in sigs:
+        return None
+    # distinct signatures (e.g. epochs that added an extra column) union
+    # like the blocks scan would; conflicting ctypes still fail loudly
+    merged: dict[str, str] = {}
+    for sig in sorted(sigs):
+        for col, ct in json.loads(sig).items():
+            _merge_ctype(merged, col, ct or _CORE_CTYPES.get(col, "str"))
+    return merged
+
+
+def infer_ctypes(root: str) -> dict[str, str]:
+    """column -> ctype for the warehouse whose blocks live at ``root``.
+
+    Planning path order: (1) the manifests' per-partition ``schema_sig``
+    (O(partitions) narrow rows — at the SCALE.md design point that is
+    ~400k strings instead of ~50M block-metadata rows pulled through the
+    driver on EVERY ``.load()``); (2) fallback for warehouses without
+    manifests (bench/test block dirs, legacy encodes): the full (column,
+    meta) blocks projection. Per-chunk column-set completeness stays
+    asserted task-side in :meth:`TranscriptReader.read`, where the chunk's
+    rows are already in hand.
+    """
+    sig = _ctypes_from_manifests(os.path.dirname(root.rstrip("/")))
+    if sig is not None:
+        return sig
+    return _ctypes_from_blocks(root)
+
+
+def _ctypes_from_blocks(root: str) -> dict[str, str]:
+    """Fallback planning: one narrow (column, meta) projection over the
+    blocks table, deduplicated driver-side; conflicting ctypes for one
+    column fail loudly."""
     from .decode import _CORE_CTYPES
 
     tbl = _dataset(root).to_table(columns=["column", "meta"])
@@ -109,13 +174,7 @@ def infer_ctypes(root: str) -> dict[str, str]:
             continue
         seen.add(key)
         ct = json.loads(meta).get("ctype") or _CORE_CTYPES.get(col, "str")
-        prev = ctypes.get(col)
-        if prev is not None and prev != ct:
-            raise ValueError(
-                f"conflicting ctypes for column {col!r}: {prev} vs {ct} — "
-                "heterogeneous encodes appended into one warehouse"
-            )
-        ctypes[col] = ct
+        _merge_ctype(ctypes, col, ct)
     return ctypes
 
 
@@ -616,11 +675,20 @@ def scan_warehouse(
     projection (Spark resolves the filter against the scan output; a
     missing column fails analysis loudly, exactly like selecting it).
     """
+    preds = list(predicate) if isinstance(predicate, (list, tuple)) else [predicate]
+    if not preds or any(p is None for p in preds):
+        # a bare transcripts_pruned relation is exactly the Spark 4.1
+        # cached-readInfo staleness hazard the format split exists to
+        # prevent: every pruned relation must carry >=1 baked filter
+        raise ValueError(
+            "scan_warehouse requires a non-empty predicate; use "
+            "read_warehouse for a full scan"
+        )
     register(spark)
     r = spark.read.format("transcripts_pruned")
     if columns:
         r = r.option("columns", ",".join(columns))
     df = r.load(warehouse)
-    for p in predicate if isinstance(predicate, (list, tuple)) else [predicate]:
+    for p in preds:
         df = df.filter(p)
     return df

@@ -84,6 +84,7 @@ def build_manifests(
     # measured selection legitimately picks different codecs for the same
     # column across chunks (dict vs rle flips, zstdhi's size gate), so a
     # column->codec MAP would throw DUPLICATED_MAP_KEY.
+    is_data = ~F.col("column").startswith("__")  # marker rows excluded
     agg = (
         blocks.withColumn("_bh", per_block_hash)
         .withColumn("_desc", _column_desc_expr())
@@ -119,15 +120,54 @@ def build_manifests(
             # partition dir, so the interactive read never lists blocks
             F.min(
                 F.when(F.col("column") == "conv_id", F.col("stat_min_str"))
-            ).alias("conv_min"),
+            ).alias("_conv_min_raw"),
             F.max(
                 F.when(F.col("column") == "conv_id", F.col("stat_max_str"))
-            ).alias("conv_max"),
+            ).alias("_conv_max_raw"),
+            # a chunk whose conv_id/turn_idx stats are null (suppressed or
+            # legacy) is NOT covered by the min/max above — F.min/F.max skip
+            # nulls, so without this flag _route's range fallback would
+            # silently prune partitions that do hold the key (ADVICE r3)
+            F.max(
+                F.when(
+                    (F.col("column") == "conv_id")
+                    & F.col("stat_min_str").isNull(), 1
+                ).otherwise(0)
+            ).alias("_conv_stat_nulls"),
             # turn_max bounds the split index of the hash partitioner, so a
             # lookup knows how many pkey_for(conv, split) dirs to compute
             F.max(
                 F.when(F.col("column") == "turn_idx", F.col("stat_max_num"))
-            ).alias("turn_max"),
+            ).alias("_turn_max_raw"),
+            F.max(
+                F.when(
+                    (F.col("column") == "turn_idx")
+                    & F.col("stat_max_num").isNull(), 1
+                ).otherwise(0)
+            ).alias("_turn_stat_nulls"),
+            # per-partition (column -> ctype) signature: O(partitions)
+            # read planning (datasource._ctypes_from_manifests) instead of
+            # the full blocks-metadata pull; null ctype entries are legacy
+            # blocks whose type the reader resolves from _CORE_CTYPES
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.collect_list(
+                                F.when(
+                                    is_data,
+                                    F.struct(
+                                        F.col("column"),
+                                        F.get_json_object(
+                                            "meta", "$.ctype"
+                                        ).alias("ctype"),
+                                    ),
+                                )
+                            )
+                        )
+                    )
+                )
+            ).alias("schema_sig"),
         )
     )
     return agg.select(
@@ -143,11 +183,19 @@ def build_manifests(
         F.lit(input_path).alias("input_path"),
         F.lit("committed").alias("status"),
         F.lit(int(time.time() * 1_000_000)).alias("committed_at"),
-        "conv_min",
-        "conv_max",
+        # null conv range = "this partition is unprunable" (_route keeps it)
+        F.when(F.col("_conv_stat_nulls") == 0, F.col("_conv_min_raw")).alias(
+            "conv_min"
+        ),
+        F.when(F.col("_conv_stat_nulls") == 0, F.col("_conv_max_raw")).alias(
+            "conv_max"
+        ),
         F.lit(num_partitions).cast("int").alias("num_partitions"),
-        "turn_max",
+        F.when(F.col("_turn_stat_nulls") == 0, F.col("_turn_max_raw")).alias(
+            "turn_max"
+        ),
         F.lit(shard_dirs).cast("int").alias("shard_dirs"),
+        "schema_sig",
     )
 
 

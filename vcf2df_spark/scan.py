@@ -344,7 +344,8 @@ def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
 
 
 def register_transcript_view(spark: SparkSession, warehouse: str,
-                             name: str = "transcripts") -> None:
+                             name: str = "transcripts",
+                             columns: list[str] | None = None) -> None:
     """Expose the encoded warehouse as a SQL view: ``SELECT ... FROM name``.
 
     Backed by the ``transcripts`` Python DataSource (datasource.py): one
@@ -354,10 +355,49 @@ def register_transcript_view(spark: SparkSession, warehouse: str,
     :func:`vcf2df_spark.datasource.scan_warehouse` for zone-map-pruned
     predicate access. This is the switch-over surface for users of the
     reference: their SQL keeps working, storage is ours.
+
+    ``columns`` registers a NARROW view: Spark does not push Catalyst
+    column pruning into Python data sources, so a full view decodes every
+    column (text is ~80% of warehouse bytes) even for ``SELECT role``.
+    Pass the columns a query actually touches — or let
+    :func:`referenced_columns` derive them from the SQL text, as
+    ``jobs/query.py`` does by default.
     """
     from .datasource import read_warehouse
 
-    read_warehouse(spark, warehouse).createOrReplaceTempView(name)
+    read_warehouse(spark, warehouse, columns=columns).createOrReplaceTempView(
+        name
+    )
+
+
+def referenced_columns(sql: str, available: list[str]) -> list[str] | None:
+    """Conservative projection inference for the SQL surface.
+
+    Spark cannot push column pruning through a Python data source, so the
+    decode set must be fixed when the view is registered. A column can only
+    be used by SQL that NAMES it, so matching each available column name as
+    a whole word in the query text can over-include (a name inside a string
+    literal — costs decode work only) but never under-include. ``count(*)``
+    is neutralized first; any remaining ``*`` (``SELECT *``, ``t.*``, or a
+    multiplication — over-inclusion again) keeps every column (None).
+    A query referencing no columns at all (pure ``count(*)``) still needs
+    one column for row counts: the cheapest one (turn_idx, FOR-DELTA ints)
+    is used.
+    """
+    import re
+
+    s = re.sub(r"count\s*\(\s*\*\s*\)", " count_rows ", sql, flags=re.I)
+    if "*" in s:
+        return None
+    hit = [
+        c for c in available
+        if re.search(rf"(?<!\w){re.escape(c)}(?!\w)", s, re.I)
+    ]
+    if set(hit) == set(available):
+        return None
+    if not hit:
+        hit = ["turn_idx"] if "turn_idx" in available else [sorted(available)[0]]
+    return hit
 
 
 def scan_transcripts(

@@ -74,8 +74,14 @@ def incremental_encode(
             blocks.write.mode("overwrite").parquet(
                 f"{warehouse}/blocks/epoch={int(epoch_id)}"
             )
+            # num_partitions on record gives streaming warehouses the same
+            # exact hash routing as batch ones: without it point lookups
+            # fall to the conv-range fallback, which cannot prune a hash
+            # layout and (worse) silently dropped partitions whose conv
+            # stats were suppressed (ADVICE r3)
             manifest.build_manifests(
-                blocks, f"{job_id}-epoch{epoch_id}", input_dir
+                blocks, f"{job_id}-epoch{epoch_id}", input_dir,
+                num_partitions=num_partitions,
             ).write.mode("overwrite").parquet(
                 f"{warehouse}/manifests/epoch={int(epoch_id)}"
             )
@@ -131,33 +137,68 @@ def conversation_state(stream: DataFrame):
     )
 
 
-def streaming_dedup(stream: DataFrame):
+def streaming_dedup(stream: DataFrame, state_ttl: str | None = None):
     """Custom stateful streaming operator: exact-dedup across micro-batches.
 
     ``applyInPandasWithState`` keyed by the content hash keeps one bit of
-    state per distinct text ever seen; only the FIRST occurrence of each
-    hash (within and across epochs) is emitted — the streaming twin of the
+    state per distinct text seen; only the FIRST occurrence of each hash
+    (within and across epochs) is emitted — the streaming twin of the
     batch ``dedup_exact`` hash-groupBy, and the standard ingestion guard in
-    a training-data pipeline. State is O(distinct contents); production
-    would add a state TTL watermark for unbounded streams.
-    """
-    import hashlib
+    a training-data pipeline.
 
+    ``state_ttl`` (an event-time horizon like ``"30 minutes"``) bounds the
+    state for unbounded streams (VERDICT r3 #4): the stream is watermarked
+    on ``ts`` by that delay and each hash's entry carries an
+    EventTimeTimeout at its newest occurrence's event time, so once the
+    watermark passes it — no new occurrence within the horizon — the entry
+    is evicted. State is O(distinct contents within the horizon) instead
+    of O(distinct contents ever). The exactly-first contract holds WITHIN
+    the horizon; a post-horizon duplicate re-emits (standard windowed-dedup
+    semantics — at 100 TB/day an unbounded seen-set is not an option), and
+    rows later than the watermark are dropped like any watermarked op.
+    Event time (not processing time) keeps eviction deterministic, replay-
+    safe, and terminating under Trigger.AvailableNow — a processing-time
+    timeout keeps scheduling empty timeout batches and the drain never
+    finishes. ``None`` keeps the unbounded exact behavior for bounded
+    backfills.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "conv_id string, turn_idx long, text_hash string"
     state_schema = "seen long"
+    timeout = GroupStateTimeout.NoTimeout
+    if state_ttl:
+        stream = stream.withWatermark("ts", state_ttl)
+        timeout = GroupStateTimeout.EventTimeTimeout
 
     def dedup(key, pdfs, state: GroupState):
+        if state_ttl and state.hasTimedOut:
+            # horizon expiry callback: no new rows for this hash before the
+            # watermark passed its last occurrence — drop the entry
+            state.remove()
+            return
         first = None
         n_before = state.get[0] if state.exists else 0
         n = n_before
+        ts_max = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[0]
+            if len(pdf):
+                if first is None:
+                    first = pdf.iloc[0]
+                m = pdf["ts"].max()
+                ts_max = m if ts_max is None else max(ts_max, m)
             n += len(pdf)
         state.update((n,))
+        if state_ttl:
+            # evict when the watermark passes the newest occurrence; the
+            # timestamp must sit strictly above the current watermark
+            wm = state.getCurrentWatermarkMs()
+            ts_ms = (
+                int(pd.Timestamp(ts_max).value // 1_000_000)
+                if ts_max is not None else wm
+            )
+            state.setTimeoutTimestamp(max(ts_ms, wm + 1))
         if n_before == 0 and first is not None:
             yield pd.DataFrame(
                 [{"conv_id": first["conv_id"],
@@ -167,7 +208,7 @@ def streaming_dedup(stream: DataFrame):
 
     keyed = stream.withColumn("text_hash", F.md5("text"))
     return keyed.groupBy("text_hash").applyInPandasWithState(
-        dedup, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        dedup, out_schema, state_schema, "update", timeout
     )
 
 

@@ -10,9 +10,18 @@ applies the same transform to its predicate bounds:
     x >= +0.0 : key = bits(x)                 (sign bit clear)
     x <  0.0  : key = ~bits(x) XOR 2^63       (flip magnitude, keep order)
 
-Properties: -0.0 < +0.0, -inf < everything < +inf < NaN; a chunk whose
-values include NaN gets a huge max key, which only makes pruning
-conservative (never incorrect).
+Properties: -0.0 < +0.0, -inf < everything < +inf < NaN.
+
+NaN invariant: Spark's comparison semantics (unlike IEEE) treat all NaNs
+as EQUAL to each other and GREATER than every non-NaN value — ``NaN = NaN``
+and ``NaN > 5.0`` are both true, so predicates DO match NaN rows. Stats
+must therefore place every NaN at the single topmost key. The raw
+total-order transform would key a negative-bit-pattern NaN (sign bit set)
+BELOW -inf — a chunk of such NaNs would then be wrongly pruned for
+``x >= v`` or ``x = NaN``. :func:`f64_key_array` canonicalizes every NaN
+bit pattern to ``key(float('nan'))`` (quiet positive NaN, topmost) so the
+recorded stats match Spark's all-NaNs-equal-and-greatest order by
+construction, whatever bit patterns ingest delivers.
 """
 
 from __future__ import annotations
@@ -23,8 +32,15 @@ _SIGN = np.uint64(1 << 63)
 
 
 def f64_key_array(values: np.ndarray) -> np.ndarray:
-    """float64 array -> order-preserving int64 keys (vectorized)."""
-    b = np.ascontiguousarray(values, dtype=np.float64).view(np.int64)
+    """float64 array -> order-preserving int64 keys (vectorized).
+
+    NaNs are canonicalized first (any payload/sign -> quiet positive NaN)
+    so every NaN maps to the one topmost key — see the module docstring.
+    """
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    if np.isnan(v).any():
+        v = np.where(np.isnan(v), np.float64("nan"), v)
+    b = v.view(np.int64)
     u = b.view(np.uint64)
     k = np.where(b < 0, np.bitwise_xor(np.invert(u), _SIGN), u)
     return k.view(np.int64)
@@ -41,10 +57,11 @@ def f64_lo_key(value: float) -> int:
     The total-order key space separates -0.0 < +0.0, but Spark predicates
     treat them as equal (``score = 0.0`` matches -0.0 rows). A zero lower
     bound therefore maps to key(-0.0) so chunks holding only -0.0 are
-    never pruned away from a predicate that matches them. (NaN bounds need
-    no special case: Spark 4.1 predicate comparisons with NaN are all
-    false — IEEE — so no row ever matches and any pruning outcome is
-    vacuously safe.)
+    never pruned away from a predicate that matches them. (A NaN bound
+    needs no special case here: under Spark's NaN-greatest semantics
+    ``x = NaN`` matches exactly the NaN rows, and canonicalized NaN stats
+    (:func:`f64_key_array`) put those at key(NaN) — which is what this
+    function returns for a NaN bound.)
     """
     return f64_key(-0.0) if value == 0 else f64_key(value)
 
