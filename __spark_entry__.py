@@ -59,6 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # curated to <=50 entries so every query gets a row; these lead the dict so
 # they land first even if the window is order-sensitive.
 _PRIORITY = [
+    "ann_index_probe",  # new in r4: the persisted-IVF engine surface
     "dynamic_roundtrip", "scan_pruned", "multimodal_meta",
     "embedding_near_dup", "ann_buckets", "cosine_topk", "kmv_distinct",
     "fingerprint", "hash_sample", "quality_filter", "token_histogram",

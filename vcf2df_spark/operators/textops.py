@@ -497,6 +497,35 @@ def q_ivf_probe(spark, sf_dir):
     )
 
 
+# --- persisted ANN index (engine surface; VERDICT r3 #8) ----------------------
+
+
+def q_ann_index_probe(spark, sf_dir):
+    """Engine-through persisted ANN: build the IVF index WITH the engine
+    (``ann.build_index`` — seed centroids, map-only rounded-argmax
+    assignment, hive-partitioned cells), then probe the 2 nearest cells
+    for vector 0's top-5 cosine neighbors (``ann.probe`` reads only those
+    cells' partition dirs). The oracle recomputes the same quantizer and
+    probe in SQL, so equality proves the PERSISTED index assigns, prunes,
+    and scores exactly. iters=0 keeps the quantizer one SQL statement;
+    jobs/index.py exposes deterministic Lloyd refinement for production."""
+    import re
+    import shutil
+
+    from vcf2df_spark import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = "/tmp/vcf2df_annidx_" + re.sub(r"\W", "_", sf_dir.strip("/"))
+    shutil.rmtree(idx, ignore_errors=True)
+    ann.build_index(spark, emb, idx, k_cells=8, iters=0)
+    qvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()[0]["v"]
+    )
+    return ann.probe(spark, idx, qvec, top_k=5, nprobe=2, exclude_id=0)
+
+
 # (word-trigram shingle counting is part of q_token_stats above; the
 # shingle *rows* used by contamination live in _shingle_rows below.)
 
@@ -665,7 +694,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "centroid_norms": q_centroid_norms,
     "near_dup_verdicts": q_near_dup_verdicts,
-    "ivf_probe": q_ivf_probe,
+    "ann_index_probe": q_ann_index_probe,
     "minhash_signature": q_minhash_signature,
     "simhash": q_simhash,
     "token_stats": q_token_stats,
@@ -687,6 +716,9 @@ QUERIES = {
 DEMO_QUERIES = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    # superseded as a registered operator by ann_index_probe (the PERSISTED
+    # index, r4): this per-query coarse quantizer stays as the didactic demo
+    "ivf_probe": q_ivf_probe,
 }
 
 
@@ -851,21 +883,43 @@ ORACLES = {
         )
         SELECT source, count(*) AS n_contaminated FROM hits GROUP BY source
     """,
-    "ivf_probe": """
-        WITH b AS (
-            SELECT vec_id, embedding,
-                   (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-                  + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-                  + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
-            FROM embeddings
-        ), q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
-        SELECT vec_id, bucket,
-               round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
-                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))),
-                     3) AS cosine
-        FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
-        ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    "ann_index_probe": """
+        WITH cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   embedding::DOUBLE[] AS ce
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        ), scored AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS ve, c.cid,
+                   round(list_dot_product(e.embedding::DOUBLE[], c.ce)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(c.ce, c.ce))), 6) AS s
+            FROM embeddings e CROSS JOIN cents c
+        ), asg AS (
+            SELECT vec_id, ve, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY s DESC, cid ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT ve AS qe, sqrt(list_dot_product(ve, ve)) AS qn
+            FROM asg WHERE vec_id = 0
+        ), probe_cells AS (
+            SELECT c.cid FROM cents c, q
+            ORDER BY round(list_dot_product(q.qe, c.ce)
+                           / (q.qn * sqrt(list_dot_product(c.ce, c.ce))),
+                           6) DESC,
+                     c.cid ASC
+            LIMIT 2
+        )
+        SELECT a.vec_id,
+               CAST(a.cid AS INTEGER) AS cell,
+               round(list_dot_product(a.ve, q.qe)
+                     / (sqrt(list_dot_product(a.ve, a.ve)) * q.qn), 3) AS cosine
+        FROM asg a, q
+        WHERE a.cid IN (SELECT cid FROM probe_cells) AND a.vec_id <> 0
+        ORDER BY cosine DESC, a.vec_id ASC
+        LIMIT 5
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, count(*) AS n_copies,
@@ -1006,6 +1060,22 @@ ORACLES = {
 
 # oracles for the unregistered demo queries (pytest parity only)
 DEMO_ORACLES = {
+    "ivf_probe": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+            FROM embeddings
+        ), q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT vec_id, bucket,
+               round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))),
+                     3) AS cosine
+        FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
+        ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    """,
     "lsh_candidate_pairs": f"""
         WITH sigs AS (
             SELECT doc_id,
