@@ -175,20 +175,30 @@ def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
     )
 
 
-def decode_blocks(blocks: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
+                  out_schema=None) -> DataFrame:
     """blocks -> transcripts (row order unspecified; sort to compare).
 
     ``columns`` prunes the decode to the requested columns: only those
     columns' block rows are shuffled and decoded — the columnar read path
     (analogue of ReadSchema pruning at a parquet scan, but over our own
     encoded blocks).
+
+    ``out_schema`` skips the metadata-derivation aggregate when the caller
+    already holds the warehouse schema (e.g. from the manifests'
+    ``schema_sig`` via ``datasource.infer_ctypes``, or across repeated
+    decodes of one warehouse) — the derivation is one extra Spark job per
+    call, pure overhead when the schema is already known. Callers passing
+    it take over the heterogeneity guarantee ``schema_from_blocks``
+    enforces (manifest signatures carry the same check).
     """
     import pyspark.sql.functions as F
 
     blocks = blocks.filter(~F.col("column").startswith("__"))  # markers
     if columns is not None:
         blocks = blocks.filter(F.col("column").isin(list(columns)))
-    out_schema = schema_from_blocks(blocks, requested=columns)
+    if out_schema is None:
+        out_schema = schema_from_blocks(blocks, requested=columns)
     return blocks.groupBy(*group_keys(blocks)).applyInArrow(
         _decode_group, out_schema
     )
