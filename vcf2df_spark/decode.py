@@ -107,6 +107,22 @@ def _decode_group(table: pa.Table) -> pa.Table:
     return decode_chunk_arrow(table.to_pylist())
 
 
+def schema_from_ctypes(ctypes: dict[str, str]):
+    """(column -> ctype) map -> the decode output Spark schema (canonical
+    column order, non-nullable). The map typically comes from the
+    manifests' schema_sig (``datasource._ctypes_from_manifests``)."""
+    from pyspark.sql import types as T
+
+    to_spark = {
+        "str": T.StringType(), "i32": T.IntegerType(), "i64": T.LongType(),
+        "ts": T.TimestampType(), "f64": T.DoubleType(), "bool": T.BooleanType(),
+    }
+    return T.StructType(
+        [T.StructField(c, to_spark[ctypes[c]], False)
+         for c in _column_order(ctypes)]
+    )
+
+
 def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
     """Output Spark schema from the blocks' own metadata (footer analogue).
 
@@ -119,12 +135,7 @@ def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
     filters resolve against an empty result instead of failing analysis.
     """
     import pyspark.sql.functions as F
-    from pyspark.sql import types as T
 
-    to_spark = {
-        "str": T.StringType(), "i32": T.IntegerType(), "i64": T.LongType(),
-        "ts": T.TimestampType(), "f64": T.DoubleType(), "bool": T.BooleanType(),
-    }
     # one aggregation over the narrow (keys, column, ctype) projection:
     # every chunk's sorted (column, ctype) signature, deduplicated. A
     # heterogeneous warehouse (a second encode appending different extras,
@@ -169,10 +180,7 @@ def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
     if not ctypes:  # zero matching blocks: typed empty result
         for c in requested or TRANSCRIPT_COLUMNS:
             ctypes[c] = _CORE_CTYPES.get(c, "str")
-    return T.StructType(
-        [T.StructField(c, to_spark[ctypes[c]], False)
-         for c in _column_order(ctypes)]
-    )
+    return schema_from_ctypes(ctypes)
 
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
