@@ -59,7 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # curated to <=50 entries so every query gets a row; these lead the dict so
 # they land first even if the window is order-sensitive.
 _PRIORITY = [
-    "ann_index_probe",  # new in r4: the persisted-IVF engine surface
+    # new in r4: persisted-IVF engine surface + first driver-checkable
+    # STREAMING rows (batch-driven availableNow drains with SQL oracles)
+    "ann_index_probe", "stream_dedup_drain", "stream_conv_state",
     "dynamic_roundtrip", "scan_pruned", "multimodal_meta",
     "embedding_near_dup", "ann_buckets", "cosine_topk", "kmv_distinct",
     "fingerprint", "hash_sample", "quality_filter", "token_histogram",
@@ -73,20 +75,22 @@ def _ordered(merged: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from vcf2df_spark.operators import engineops, relational, textops
+    from vcf2df_spark.operators import engineops, relational, streamq, textops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
     out.update(engineops.QUERIES)
+    out.update(streamq.QUERIES)
     return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
-    from vcf2df_spark.operators import engineops, relational, textops
+    from vcf2df_spark.operators import engineops, relational, streamq, textops
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(textops.ORACLES)
     out.update(engineops.ORACLES)
+    out.update(streamq.ORACLES)
     return _ordered(out)

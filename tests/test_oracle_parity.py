@@ -50,20 +50,22 @@ def _kinds(df: pd.DataFrame) -> dict:
 
 
 def _all_queries():
-    """Registered queries plus the unregistered all-pairs demos — the demos
-    stay parity-tested here even though the driver no longer sees them."""
-    from vcf2df_spark.operators import textops
+    """Registered queries plus the unregistered demos — the demos stay
+    parity-tested here even though the driver no longer sees them."""
+    from vcf2df_spark.operators import relational, textops
 
     out = dict(entry_mod.queries())
     out.update(textops.DEMO_QUERIES)
+    out.update(relational.DEMO_QUERIES)
     return out
 
 
 def _all_oracles():
-    from vcf2df_spark.operators import textops
+    from vcf2df_spark.operators import relational, textops
 
     out = dict(entry_mod.oracle_sql())
     out.update(textops.DEMO_ORACLES)
+    out.update(relational.DEMO_ORACLES)
     return out
 
 

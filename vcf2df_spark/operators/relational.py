@@ -567,7 +567,6 @@ QUERIES = {
     "date_funcs": q_date_funcs,
     "funnel": q_funnel,
     "window_frames": q_window_frames,
-    "collect_sorted": q_collect_sorted,
     "filter_pushdown": q_filter_pushdown,
     "explode_wordcount": q_explode_wordcount,
     "impute": q_impute,
@@ -578,7 +577,6 @@ QUERIES = {
     "topk": q_topk,
     "set_ops": q_set_ops,
     "stats_profile": q_stats_profile,
-    "posexplode": q_posexplode,
 }
 
 ORACLES = {
@@ -650,12 +648,6 @@ ORACLES = {
         FROM events WHERE user_id < 50
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-    "collect_sorted": """
-        SELECT n_regionkey,
-               array_to_string(list_sort(list(n_name)), '|') AS nations,
-               count(*) AS n_nations
-        FROM nation GROUP BY n_regionkey
     """,
     "date_funcs": """
         SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
@@ -841,6 +833,33 @@ ORACLES = {
             SELECT s_nationkey FROM supplier
         )
     """,
+    "stats_profile": """
+        SELECT count(*) AS n_rows,
+               count(DISTINCT event_type) AS ndv_event_type,
+               count(DISTINCT user_id) AS ndv_user_id,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(avg(length(props)), 4) AS avg_props_len
+        FROM events
+    """,
+}
+
+
+# demoted to pytest-parity-only demos (r4): sorts/top-k evidence is carried
+# by `topk`, explode evidence by `explode_wordcount` — these two freed the
+# driver-registry slots for the streaming queries (operators/streamq.py)
+DEMO_QUERIES = {
+    "collect_sorted": q_collect_sorted,
+    "posexplode": q_posexplode,
+}
+
+DEMO_ORACLES = {
+    "collect_sorted": """
+        SELECT n_regionkey,
+               array_to_string(list_sort(list(n_name)), '|') AS nations,
+               count(*) AS n_nations
+        FROM nation GROUP BY n_regionkey
+    """,
     "posexplode": """
         WITH w AS (
             SELECT doc_id,
@@ -853,14 +872,5 @@ ORACLES = {
         )
         SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS word
         FROM idx WHERE i <= 5
-    """,
-    "stats_profile": """
-        SELECT count(*) AS n_rows,
-               count(DISTINCT event_type) AS ndv_event_type,
-               count(DISTINCT user_id) AS ndv_user_id,
-               round(min(value), 4) AS min_value,
-               round(max(value), 4) AS max_value,
-               round(avg(length(props)), 4) AS avg_props_len
-        FROM events
     """,
 }

@@ -186,8 +186,9 @@ def streaming_dedup(stream: DataFrame, state_ttl: str | None = None):
             if len(pdf):
                 if first is None:
                     first = pdf.iloc[0]
-                m = pdf["ts"].max()
-                ts_max = m if ts_max is None else max(ts_max, m)
+                if state_ttl:  # ts only needed (or required) with a TTL
+                    m = pdf["ts"].max()
+                    ts_max = m if ts_max is None else max(ts_max, m)
             n += len(pdf)
         state.update((n,))
         if state_ttl:
