@@ -183,6 +183,25 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             sqln_t.append(time.time() - t0)
         query_sql_narrow_sec = sorted(sqln_t)[1]
 
+        # routed SQL point lookup: query.py's baked-conjunct path — the
+        # predicate is baked into a pruned relation, so zone maps prune
+        # chunks task-side instead of decoding the warehouse
+        from vcf2df_spark.datasource import scan_warehouse
+
+        scan_warehouse(
+            spark, warehouse, [f"conv_id = '{some_conv}'"],
+            columns=["conv_id", "turn_idx", "text"],
+        ).createOrReplaceTempView("bench_tp")
+        qp = (f"SELECT conv_id, turn_idx, text FROM bench_tp "
+              f"WHERE conv_id = '{some_conv}'")
+        assert spark.sql(qp).count() > 0  # warm-up + sanity
+        sqlp_t = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.sql(qp).collect()
+            sqlp_t.append(time.time() - t0)
+        query_sql_point_sec = sorted(sqlp_t)[1]
+
         med = lambda xs: sorted(xs)[len(xs) // 2]
         stored = spark.read.parquet(f"{warehouse}/blocks")
         agg = stored.agg(F.sum("raw_bytes").alias("raw"),
@@ -207,6 +226,7 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             "point_lookup_ms": int(med(lookup_t) * 1000),
             "query_sql_sec": round(query_sql_sec, 2),
             "query_sql_narrow_sec": round(query_sql_narrow_sec, 2),
+            "query_sql_point_sec": round(query_sql_point_sec, 2),
         }
     finally:
         spark.stop()
@@ -346,6 +366,7 @@ def main() -> None:
         "point_lookup_ms": r["point_lookup_ms"],
         "query_sql_sec": r["query_sql_sec"],
         "query_sql_narrow_sec": r["query_sql_narrow_sec"],
+        "query_sql_point_sec": r["query_sql_point_sec"],
         "baseline_fixture_fingerprint": fixture_fingerprint(input_path, sf),
         "rows": r["rows"],
         "turns_per_sec_encode": r["turns_per_sec_encode"],

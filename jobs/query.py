@@ -36,8 +36,12 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import SparkSession
 
-    from vcf2df_spark.datasource import infer_ctypes, read_warehouse
-    from vcf2df_spark.scan import referenced_columns
+    from vcf2df_spark.datasource import (
+        infer_ctypes,
+        read_warehouse,
+        scan_warehouse,
+    )
+    from vcf2df_spark.scan import pushable_predicates, referenced_columns
     from vcf2df_spark.session import get_spark
     from vcf2df_spark.shipping import ensure_shipped
 
@@ -45,18 +49,30 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(master=args.master, app_name="query")
     ensure_shipped(spark)
     t0 = time.time()
+    available = list(infer_ctypes(f"{args.warehouse}/blocks"))  # O(partitions)
     if args.columns == "*":
         cols = None
     elif args.columns:
         cols = [c.strip() for c in args.columns.split(",")]
     else:
-        # infer_ctypes is O(partitions) on manifested warehouses (schema_sig)
-        cols = referenced_columns(
-            args.sql, list(infer_ctypes(f"{args.warehouse}/blocks"))
-        )
-    read_warehouse(spark, args.warehouse, columns=cols).createOrReplaceTempView(
-        args.view_name
-    )
+        cols = referenced_columns(args.sql, available)
+    # simple top-level WHERE conjuncts get BAKED into a pruned relation:
+    # zone-map chunk pruning in every task, and a conv_id equality routes
+    # partitions() to the hashed dirs — a SQL point lookup plans ~2 tasks
+    # instead of a full-warehouse decode. Baking the query's own conjuncts
+    # is sound (Spark still applies the full WHERE exactly) and keeps the
+    # every-pruned-relation-carries-filters invariant.
+    preds = pushable_predicates(args.sql, args.view_name, available)
+    if preds:
+        if cols is not None:  # predicate columns must be in the projection
+            import re as _re
+
+            need = [_re.match(r"\s*(\w+)", p).group(1) for p in preds]
+            cols = cols + [c for c in need if c not in cols]
+        backing = scan_warehouse(spark, args.warehouse, preds, columns=cols)
+    else:
+        backing = read_warehouse(spark, args.warehouse, columns=cols)
+    backing.createOrReplaceTempView(args.view_name)
     out = spark.sql(args.sql)
     rows = out.limit(args.limit).collect()
     # only pay a second decode pass for the total when the limit truncated

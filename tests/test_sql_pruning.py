@@ -8,6 +8,7 @@ payloads, which are ~80% of warehouse bytes.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from vcf2df_spark import datasource, fixtures, manifest
 from vcf2df_spark.encode import encode_transcripts, normalize_input
@@ -112,3 +113,77 @@ def test_query_job_auto_derives(spark, wh, capsys):
     roles = {r["role"]: r["n"] for r in lines[:-1]}
     full = datasource.read_warehouse(spark, wh).groupBy("role").count().collect()
     assert roles == {r["role"]: r["count"] for r in full}
+
+
+# --- baked WHERE-conjunct extraction (routed SQL point lookups, r4) ---------
+
+
+@pytest.mark.parametrize(
+    "sql,want",
+    [
+        ("SELECT text FROM t WHERE conv_id = 'c-1'", ["conv_id = 'c-1'"]),
+        ("SELECT * FROM t WHERE conv_id = 'c-1' AND turn_idx < 5",
+         ["conv_id = 'c-1'", "turn_idx < 5"]),
+        ("SELECT * FROM t WHERE conv_id IN ('a', 'b') GROUP BY role",
+         ["conv_id IN ('a', 'b')"]),
+        # partial extraction: complex conjuncts skipped, simple ones kept
+        ("SELECT * FROM t WHERE conv_id = 'c' AND length(text) > 5",
+         ["conv_id = 'c'"]),
+        # OR / NOT / BETWEEN / subqueries / joins: bake nothing
+        ("SELECT * FROM t WHERE conv_id = 'c' OR role = 'user'", []),
+        ("SELECT * FROM t WHERE NOT conv_id = 'c'", []),
+        ("SELECT * FROM t WHERE turn_idx BETWEEN 1 AND 3", []),
+        ("SELECT * FROM t a JOIN t b ON a.conv_id = b.conv_id "
+         "WHERE a.turn_idx = 1", []),
+        # an AND inside a string literal must never produce a fake conjunct
+        ("SELECT * FROM t WHERE text = 'x AND conv_id = 3'", []),
+        ("SELECT * FROM t WHERE text = 'a AND conv_id = 3 AND b'", []),
+        # unknown column: not bakeable
+        ("SELECT * FROM t WHERE nope = 1", []),
+        ("SELECT * FROM t", []),
+    ],
+)
+def test_pushable_predicates(sql, want):
+    from vcf2df_spark.scan import pushable_predicates
+
+    got = pushable_predicates(sql, "t", AVAILABLE)
+    assert got == want, (sql, got)
+
+
+def test_query_job_routes_point_lookup(spark, wh, capsys):
+    """A SQL conv_id point query goes through the baked pruned relation
+    (transcripts_pruned) and returns exactly that conversation."""
+    import json
+
+    import jobs.query as query_job
+
+    cid = (
+        datasource.read_warehouse(spark, wh).select("conv_id").first()[0]
+    )
+    query_job.main([
+        "--warehouse", wh,
+        "--sql",
+        f"SELECT conv_id, turn_idx FROM t WHERE conv_id = '{cid}' "
+        "ORDER BY turn_idx",
+        "--limit", "1000",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rows, summary = lines[:-1], lines[-1]
+    want = (
+        datasource.read_warehouse(spark, wh)
+        .filter(F.col("conv_id") == cid).count()
+    )
+    assert summary["rows"] == want > 0
+    assert all(r["conv_id"] == cid for r in rows)
+
+    # and the backing relation is the pruned format (baked predicate)
+    from vcf2df_spark.scan import pushable_predicates
+
+    available = list(datasource.infer_ctypes(f"{wh}/blocks"))
+    assert pushable_predicates(
+        f"SELECT conv_id FROM t WHERE conv_id = '{cid}'", "t", available
+    ) == [f"conv_id = '{cid}'"]
+    plan = spark.table("t")._sc._jvm.PythonSQLUtils.explainString(
+        spark.table("t")._jdf.queryExecution(), "formatted"
+    )
+    assert "transcripts_pruned" in plan

@@ -358,7 +358,7 @@ class TranscriptReader(DataSourceReader):
         return [_BlocksFilePartition(f, _hive_keys(f, self.root)) for f in files]
 
     def read(self, partition: _BlocksFilePartition) -> Iterator:
-        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -366,36 +366,67 @@ class TranscriptReader(DataSourceReader):
 
         want = [f.name for f in self.schema.fields]
         want_set = set(want)
-        # predicate columns must load for their stats rows even when pruned
-        # out of the projection
-        need_cols = want_set | {
-            f.attribute[0] for f in self.pushed if getattr(f, "attribute", None)
-        }
-        import pyarrow.compute as pc
+        id_cols = [] if "partition_id" in partition.hive else ["partition_id"]
 
-        cols = [
-            "chunk_idx", "column", "codec", "n_rows", "payload", "aux",
-            "meta", "stat_min_str", "stat_max_str", "stat_min_num",
-            "stat_max_num",
-        ]
-        if "partition_id" not in partition.hive:  # flat layout: data column
-            cols.insert(0, "partition_id")
-        # row filter in the parquet reader: payloads of columns outside the
-        # projection (and "__" marker rows) never become Python objects
-        tbl = pq.read_table(
-            partition.file_path,
-            columns=cols,
-            filters=pc.field("column").isin(sorted(need_cols)),
-        )
-        rows = tbl.to_pylist()
-        groups: dict[tuple, dict[str, dict]] = {}
-        for r in rows:
-            key = (
+        def _key(r: dict):
+            return (
                 partition.hive.get("partition_id", r.get("partition_id")),
                 r["chunk_idx"],
                 partition.hive.get("epoch"),
             )
-            groups.setdefault(key, {})[r["column"]] = r
+
+        chunk_filter = pc.field("column").isin(sorted(want_set))
+        if self.pushed:
+            # two-phase read: chunk pruning must run BEFORE any payload
+            # bytes load, or a point lookup still pays the parquet read of
+            # every projected payload in the file. Phase 1 reads ONLY the
+            # tiny stats rows (predicate columns included even when pruned
+            # out of the projection — their payloads are never loaded);
+            # phase 2 restricts the payload read to surviving chunks.
+            need_cols = want_set | {
+                f.attribute[0]
+                for f in self.pushed if getattr(f, "attribute", None)
+            }
+            stats = pq.read_table(
+                partition.file_path,
+                columns=id_cols + [
+                    "chunk_idx", "column", "stat_min_str", "stat_max_str",
+                    "stat_min_num", "stat_max_num",
+                ],
+                filters=pc.field("column").isin(sorted(need_cols)),
+            ).to_pylist()
+            by_chunk: dict[tuple, dict[str, dict]] = {}
+            for r in stats:
+                by_chunk.setdefault(_key(r), {})[r["column"]] = r
+            surviving = [
+                key for key, cols in by_chunk.items()
+                if chunk_overlaps(self.pushed, cols, self.ctypes)
+            ]
+            if not surviving:
+                return
+            expr = None
+            for pid, chunk_idx, _epoch in surviving:
+                e = pc.field("chunk_idx") == chunk_idx
+                if id_cols:
+                    e = e & (pc.field("partition_id") == pid)
+                expr = e if expr is None else expr | e
+            chunk_filter = chunk_filter & expr
+
+        # row filter in the parquet reader: payloads of columns outside the
+        # projection (and "__" marker rows, and pruned chunks) never become
+        # Python objects
+        tbl = pq.read_table(
+            partition.file_path,
+            columns=id_cols + [
+                "chunk_idx", "column", "codec", "n_rows", "payload", "aux",
+                "meta", "stat_min_str", "stat_max_str", "stat_min_num",
+                "stat_max_num",
+            ],
+            filters=chunk_filter,
+        )
+        groups: dict[tuple, dict[str, dict]] = {}
+        for r in tbl.to_pylist():
+            groups.setdefault(_key(r), {})[r["column"]] = r
 
         out_schema = to_arrow_schema(self.schema)
         data_cols = [c for c in self.ctypes if c in want_set]
@@ -407,8 +438,6 @@ class TranscriptReader(DataSourceReader):
                     f"blocks {missing} — incomplete chunk group (write "
                     "invariant violated or heterogeneous appends)"
                 )
-            if self.pushed and not chunk_overlaps(self.pushed, cols, self.ctypes):
-                continue
             chunk = decode_chunk_arrow([cols[c] for c in want if c in cols])
             chunk = chunk.select(want).cast(out_schema)
             yield from chunk.to_batches()

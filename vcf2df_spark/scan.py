@@ -370,6 +370,60 @@ def register_transcript_view(spark: SparkSession, warehouse: str,
     )
 
 
+def pushable_predicates(sql: str, view: str, available: list[str]) -> list[str]:
+    """Top-level WHERE conjuncts safe to bake into a pruned relation.
+
+    The SQL view format deliberately has no pushdown (the Spark 4.1
+    readInfo staleness hazard), so ``jobs/query.py`` instead extracts the
+    query's own simple conjuncts and backs the view with
+    ``scan_warehouse(predicate=these)`` — the baked-filter pattern that IS
+    safe. Baking a top-level AND conjunct of the query's WHERE never
+    changes the result (WHERE runs before GROUP BY, and Spark re-applies
+    the full predicate exactly); pruning/routing is pure gain — a
+    ``conv_id = 'x'`` SQL query plans only the routed partition dirs.
+
+    Ultra-conservative grammar, [] on any doubt: the view must appear
+    exactly once with no JOIN; the WHERE clause must be AND-conjuncts of
+    ``bare_ident OP literal`` (OP in = < > <= >=, or IN over literals;
+    literals are numbers or simple quoted strings); any OR/NOT/BETWEEN/
+    subquery/function/qualified name bails out entirely.
+    """
+    import re
+
+    if len(re.findall(rf"(?i)(?<!\w){re.escape(view)}(?!\w)", sql)) != 1:
+        return []
+    if re.search(r"(?i)\bjoin\b", sql):
+        return []
+    m = re.search(
+        r"(?is)\bwhere\b(.*?)(?:\bgroup\s+by\b|\border\s+by\b|\blimit\b"
+        r"|\bhaving\b|\bwindow\b|$)",
+        sql,
+    )
+    if not m:
+        return []
+    clause = m.group(1).strip()
+    if re.search(r"(?i)\bor\b|\bnot\b|\bbetween\b|\bexists\b|\(\s*select", clause):
+        return []
+    if clause.count("'") % 2:  # imbalanced quotes: do not attempt to parse
+        return []
+    lit = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
+    simple = rf"^\s*(\w+)\s*(=|<=|>=|<|>)\s*{lit}\s*$"
+    inlist = rf"^\s*(\w+)\s+(?i:in)\s*\(\s*{lit}(?:\s*,\s*{lit})*\s*\)\s*$"
+    cols = {c.lower() for c in available}
+    out: list[str] = []
+    for conj in re.split(r"(?i)\band\b", clause):
+        m2 = re.match(simple, conj) or re.match(inlist, conj)
+        if m2 and m2.group(1).lower() in cols:
+            out.append(conj.strip())  # a true top-level conjunct: bakeable
+        elif "'" in conj:
+            # a quote in an unmatched fragment means the AND split may have
+            # cut through a string literal — abandon the whole extraction
+            return []
+        # else: a complex conjunct (function call, cast, ...) — skip it;
+        # the remaining matched conjuncts are still sound to bake
+    return out
+
+
 def referenced_columns(sql: str, available: list[str]) -> list[str] | None:
     """Conservative projection inference for the SQL surface.
 
