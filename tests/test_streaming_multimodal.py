@@ -292,3 +292,73 @@ def test_streaming_dedup_state_ttl(spark, tmp_path):
     assert got["conv_id"].str.startswith("late-").sum() == n_distinct
     n_fresh = fresh["text"].nunique() + fresh2["text"].nunique()
     assert len(got) == 2 * n_distinct + n_fresh
+
+
+def test_conversation_state_ttl_closes_sessions(spark, tmp_path):
+    """Event-time TTL on the conversation tracker: a conversation idle
+    past the horizon emits one final closed=true summary and its state is
+    evicted (a later reappearance restarts from zero) — bounded state +
+    the standard sessionization close event."""
+    import os
+
+    from vcf2df_spark.blocks import TRANSCRIPT_SCHEMA
+
+    indir = tmp_path / "cin"
+    indir.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def frame(conv, n, minutes):
+        return pd.DataFrame({
+            "conv_id": [conv] * n,
+            "turn_idx": list(range(n)),
+            "role": ["user"] * n,
+            "text": [f"{conv}-{i}" for i in range(n)],
+            "tool": [""] * n,
+            "ts": [base + pd.Timedelta(minutes=minutes + i) for i in range(n)],
+        })
+
+    files = [
+        ("a", frame("conv-A", 3, 0)),        # session at T0..T0+2min
+        ("b", frame("conv-B", 2, 120)),      # watermark advances past A
+        ("c", frame("conv-C", 2, 121)),      # the batch that closes A
+        ("d", frame("conv-A", 1, 180)),      # A reappears: fresh state
+    ]
+    for k, (name, df) in enumerate(files):
+        path = str(indir / f"{name}.parquet")
+        fixtures.write_parquet(df, path)
+        os.utime(path, (2e9 + 100 * k, 2e9 + 100 * k))
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+        )
+        q = (
+            streaming.conversation_state(stream, state_ttl="30 minutes")
+            .writeStream.format("memory").queryName("cstate_ttl")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    got = spark.sql("SELECT * FROM cstate_ttl").toPandas()
+    closed = got[got["closed"]]
+    # A closes when batch c advances the watermark past it; B and C close
+    # in availableNow's final timeout pass (their last events are > TTL
+    # behind the final watermark). A's REOPENED session (minute 180) is
+    # within the horizon, so it is not closed.
+    assert sorted(closed["conv_id"]) == ["conv-A", "conv-B", "conv-C"]
+    a_closed = closed[closed["conv_id"] == "conv-A"]
+    assert len(a_closed) == 1 and int(a_closed["n_turns"].iloc[0]) == 3
+    # post-close reappearance restarted from evicted (empty) state: the
+    # new session's update counts only the new turn
+    fresh = got[(got["conv_id"] == "conv-A") & (got["n_turns"] == 1)]
+    assert len(fresh) == 1 and not fresh["closed"].iloc[0]

@@ -96,7 +96,7 @@ def incremental_encode(
     )
 
 
-def conversation_state(stream: DataFrame):
+def conversation_state(stream: DataFrame, state_ttl: str | None = None):
     """Custom stateful streaming operator: per-conversation running state.
 
     ``applyInPandasWithState`` keeps (n_turns, first_us, last_us, max_turn)
@@ -104,17 +104,42 @@ def conversation_state(stream: DataFrame):
     conversation per batch — the building block for incremental per-
     conversation statistics (the streaming twin of the planner's stats
     sampler). Arrow-batched; state is a fixed-width tuple.
+
+    ``state_ttl`` (an event-time horizon like ``"30 minutes"``) bounds the
+    state the way the dedup operator does (r4): the stream is watermarked
+    on ``ts``, and a conversation idle past the horizon is CLOSED — its
+    final summary is emitted once more with ``closed=true`` (the standard
+    sessionization close event) and its state evicted, so state is
+    O(active conversations), not O(conversations ever). Event time, not
+    processing time: deterministic, replay-safe, and terminates under
+    Trigger.AvailableNow.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
         "conv_id string, n_turns long, first_us long, last_us long, "
-        "max_turn_idx long"
+        "max_turn_idx long, closed boolean"
     )
     state_schema = "n long, first_us long, last_us long, max_turn long"
+    timeout = GroupStateTimeout.NoTimeout
+    if state_ttl:
+        stream = stream.withWatermark("ts", state_ttl)
+        timeout = GroupStateTimeout.EventTimeTimeout
+
+    def row(key, n, first_us, last_us, max_turn, closed):
+        return pd.DataFrame(
+            [{"conv_id": key[0], "n_turns": n, "first_us": first_us,
+              "last_us": last_us, "max_turn_idx": max_turn,
+              "closed": closed}]
+        )
 
     def track(key, pdfs, state: GroupState):
+        if state_ttl and state.hasTimedOut:
+            n, first_us, last_us, max_turn = state.get
+            state.remove()  # bounded state: idle conversation closed
+            yield row(key, n, first_us, last_us, max_turn, True)
+            return
         n, first_us, last_us, max_turn = (
             state.get if state.exists else (0, None, None, -1)
         )
@@ -126,14 +151,13 @@ def conversation_state(stream: DataFrame):
             last_us = hi if last_us is None else max(last_us, hi)
             max_turn = max(max_turn, int(pdf["turn_idx"].max()))
         state.update((n, first_us, last_us, max_turn))
-        yield pd.DataFrame(
-            [{"conv_id": key[0], "n_turns": n, "first_us": first_us,
-              "last_us": last_us, "max_turn_idx": max_turn}]
-        )
+        if state_ttl:
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_us // 1000, wm + 1))
+        yield row(key, n, first_us, last_us, max_turn, False)
 
     return stream.groupBy("conv_id").applyInPandasWithState(
-        track, out_schema, state_schema, "update",
-        GroupStateTimeout.NoTimeout,
+        track, out_schema, state_schema, "update", timeout,
     )
 
 
