@@ -187,3 +187,15 @@ def test_query_job_routes_point_lookup(spark, wh, capsys):
         spark.table("t")._jdf.queryExecution(), "formatted"
     )
     assert "transcripts_pruned" in plan
+
+
+def test_pushable_predicates_bails_on_comments():
+    """A commented-out fragment must never be baked as a live conjunct."""
+    from vcf2df_spark.scan import pushable_predicates
+
+    assert pushable_predicates(
+        "SELECT * FROM t WHERE conv_id = 'c' -- AND turn_idx = 3",
+        "t", AVAILABLE) == []
+    assert pushable_predicates(
+        "SELECT * FROM t /* WHERE */ WHERE conv_id = 'c'",
+        "t", AVAILABLE) == []

@@ -390,6 +390,8 @@ def pushable_predicates(sql: str, view: str, available: list[str]) -> list[str]:
     """
     import re
 
+    if "--" in sql or "/*" in sql:
+        return []  # comments could disguise non-applied text as a conjunct
     if len(re.findall(rf"(?i)(?<!\w){re.escape(view)}(?!\w)", sql)) != 1:
         return []
     if re.search(r"(?i)\bjoin\b", sql):
