@@ -59,9 +59,16 @@ def _assign_cell(vec, vnorm, cents: list, cnorms: list) -> F.Column:
     (best sim, smallest cell) tie-break without any join or window."""
     entries = [
         F.struct(
-            (-F.round(
-                _dot(vec, _lit_vec(c)) / (vnorm * F.lit(float(cn))),
-                _SIM_DECIMALS,
+            # a zero-norm vector yields a null sim: coalesce to -inf so it
+            # deterministically lands in the smallest cell id (matching the
+            # oracle's DESC NULLS LAST + cid ASC tie-break) instead of
+            # letting null-field struct comparison pick arbitrarily
+            (-F.coalesce(
+                F.round(
+                    _dot(vec, _lit_vec(c)) / (vnorm * F.lit(float(cn))),
+                    _SIM_DECIMALS,
+                ),
+                F.lit(float("-inf")),
             )).alias("negsim"),
             F.lit(int(ci)).alias("cell"),
         )
