@@ -385,3 +385,33 @@ def test_scan_warehouse_rejects_empty_predicate(spark, mwh):
         datasource.scan_warehouse(spark, mwh, [])
     with pytest.raises(ValueError, match="non-empty predicate"):
         datasource.scan_warehouse(spark, mwh, None)
+
+
+def test_routed_partitions_skip_tree_listing(spark, mwh, monkeypatch, ref=None):
+    """A pushed conv_id equality must plan WITHOUT listing the blocks
+    tree: only the routed partition dirs are opened (at ~400k dirs the
+    full listing is the dominant planning cost)."""
+    cid = (
+        decode_blocks(spark.read.parquet(f"{mwh}/blocks"))
+        .select("conv_id").first()[0]
+    )
+    ds = PrunedTranscriptDataSource({"path": mwh})
+    reader = ds.reader(ds.schema())
+    reader.pushFilters([EqualTo(("conv_id",), cid)])
+
+    real_dataset = datasource._dataset
+
+    def no_tree(root):
+        raise AssertionError(f"full-tree listing of {root} during routed planning")
+
+    monkeypatch.setattr(datasource, "_dataset", no_tree)
+    parts = reader.partitions()
+    monkeypatch.setattr(datasource, "_dataset", real_dataset)
+    assert parts
+    pids = {p.hive["partition_id"] for p in parts}
+    assert len(pids) <= 2  # the hash route, not the whole warehouse
+    rows = 0
+    for part in parts:
+        for batch in reader.read(part):
+            rows += batch.num_rows
+    assert rows > 0  # the conversation is decodable from the routed dirs

@@ -471,10 +471,11 @@ class PrunedTranscriptReader(TranscriptReader):
         ]
         return list(filters)
 
-    def _routed_pids(self) -> set[int] | None:
-        """Partition ids that can hold the pushed conv_id point keys, from
-        the manifests' hash-routing metadata. None = no routable filter or
-        no routing metadata (then every file is planned as usual)."""
+    def _routed_pids(self):
+        """(partition ids, shard_dirs) that can hold the pushed conv_id
+        point keys, from the manifests' hash-routing metadata.
+        (None, None) = no routable filter or no routing metadata (then
+        every file is planned as usual)."""
         from .scan import _route
 
         keys: list[str] = []
@@ -491,33 +492,59 @@ class PrunedTranscriptReader(TranscriptReader):
                 continue
             break  # one conjunct suffices; others only narrow further
         if not keys:
-            return None
+            return None, None
         pids: set[int] = set()
+        shard_dirs = None
         for k in keys:
-            p, _ = _route(self.warehouse, k)
+            p, shard_dirs = _route(self.warehouse, k)
             if p is None:
-                return None  # no routing metadata -> plan everything
+                return None, None  # no routing metadata -> plan everything
             pids.update(p)
-        return pids
+        return pids, shard_dirs
 
     def partitions(self) -> Sequence[InputPartition]:
         """Task-level pruning for point lookups: a pushed conv_id
-        equality/IN routes through the manifests hash metadata, so only
-        the matching partition dirs' files become tasks — at ~400k
-        partitions that is 2 tasks instead of 400k. Files without a
-        partition_id hive key (flat layouts) are always planned; chunk
-        zone maps still prune inside every task."""
-        parts = super().partitions()
-        pids = self._routed_pids()
+        equality/IN routes through the manifests hash metadata, and ONLY
+        the routed partition dirs are even LISTED — at ~400k partition
+        dirs the full-tree file listing is the dominant planning cost, so
+        a point query opens ~2 dirs instead of discovering the tree
+        (the same move as scan.fetch_conversation). Layouts without
+        per-partition dirs (flat files, streaming epochs) fall back to the
+        full listing, and chunk zone maps still prune inside every task."""
+        import pyarrow.dataset as pads
+
+        pids, shard_dirs = self._routed_pids()
         if pids is None:
-            return parts
+            return super().partitions()
+        files: list[_BlocksFilePartition] = []
+        for pid in sorted(pids):
+            cand = [f"{self.root}/partition_id={pid}"]
+            if shard_dirs:
+                cand.insert(
+                    0, f"{self.root}/shard={pid % shard_dirs}/partition_id={pid}"
+                )
+            for d in cand:
+                try:
+                    dirfiles = pads.dataset(d, format="parquet").files
+                except (FileNotFoundError, OSError):
+                    continue
+                files.extend(
+                    _BlocksFilePartition(f, {"partition_id": pid})
+                    for f in dirfiles
+                )
+                break
+        if files:
+            return files
+        # routed dirs absent (flat/epoch layout) or a routed miss: plan the
+        # listed tree, filtered where hive keys allow; a total miss keeps
+        # one task (prunes to nothing task-side) rather than risking the
+        # empty-partition-list API edge
+        parts = super().partitions()
         kept = [
             p for p in parts
             if p.hive.get("partition_id") is None
             or p.hive["partition_id"] in pids
         ]
-        # a routed miss keeps one task (prunes to nothing task-side) rather
-        # than risking the empty-partition-list API edge
         return kept if kept else parts[:1]
 
 
