@@ -1,7 +1,10 @@
 """Delete job: remove one conversation from an encoded warehouse.
 
     spark-submit --py-files vcf2df_spark.zip jobs/delete.py \
-        --warehouse /path/warehouse --conv-id conv-00000042
+        --warehouse /path/warehouse --conv-id conv-00000042 [--conv-id ...]
+
+Batch deletes amortize: every requested conversation's routed partitions
+are rewritten in ONE pass (union of routes, one decode/encode/commit).
 
 The GDPR-shaped operation a training-data warehouse needs: targeted
 deletion without a full rewrite. The manifests' hash-routing metadata
@@ -39,7 +42,9 @@ import time
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--warehouse", required=True)
-    p.add_argument("--conv-id", required=True)
+    p.add_argument("--conv-id", required=True, action="append",
+                   help="repeatable: all given conversations are removed "
+                        "in one routed rewrite")
     p.add_argument("--job-id", default=None,
                    help="job id recorded on the rewritten manifest rows "
                         "(default: delete-<conv-id>)")
@@ -63,9 +68,17 @@ def main(argv: list[str] | None = None) -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     t0 = time.time()
     wh = args.warehouse.rstrip("/")
-    job_id = args.job_id or f"delete-{args.conv_id}"
+    conv_ids = sorted(set(args.conv_id))
+    job_id = args.job_id or "delete-" + "-".join(conv_ids[:3])
 
-    pids, shard_dirs = _route(wh, args.conv_id)
+    pids: set | None = set()
+    shard_dirs = None
+    for cid in conv_ids:
+        p_i, shard_dirs = _route(wh, cid)
+        if p_i is None:
+            pids = None
+            break
+        pids.update(p_i)
     if pids is None:
         print(json.dumps({
             "status": "error",
@@ -103,7 +116,7 @@ def main(argv: list[str] | None = None) -> None:
     dec = decode_blocks(blocks).cache()
     try:
         n_before = dec.count()
-        kept = dec.filter(F.col("conv_id") != args.conv_id)
+        kept = dec.filter(~F.col("conv_id").isin(conv_ids))
         n_after = kept.count()
         if n_after == n_before:
             print(json.dumps({
@@ -148,7 +161,7 @@ def main(argv: list[str] | None = None) -> None:
             ~F.col("partition_id").isin(sorted(pids))
         ).collect()
         fresh = manifest.build_manifests(
-            new_blocks, job_id, f"delete:{args.conv_id}",
+            new_blocks, job_id, "delete:" + ",".join(conv_ids),
             num_partitions=num_partitions, shard_dirs=shard_dirs,
         ).collect()
         names = [f.name for f in MANIFEST_SCHEMA.fields]

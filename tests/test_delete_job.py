@@ -102,3 +102,27 @@ def test_delete_requires_routing(spark, tmp_path):
     ])
     assert code == 2 and rec["status"] == "error"
     assert "routing" in rec["error"] or "num_partitions" in rec["error"]
+
+
+def test_batch_delete(spark, wh):
+    """Several conversations in ONE routed rewrite (union of routes)."""
+    full = read_warehouse(spark, wh)
+    cids = [r[0] for r in
+            full.select("conv_id").distinct().orderBy("conv_id").take(3)]
+    n_total = full.count()
+    n_del = full.filter(F.col("conv_id").isin(cids)).count()
+    assert n_del > 0
+
+    argv = ["--warehouse", wh, "--master", "local[4]"]
+    for c in cids:
+        argv += ["--conv-id", c]
+    code, rec = _run(delete_job.main, argv)
+    assert code == 0 and rec["status"] == "ok"
+    assert rec["rows_deleted"] == n_del
+
+    after = read_warehouse(spark, wh)
+    assert after.filter(F.col("conv_id").isin(cids)).count() == 0
+    assert after.count() == n_total - n_del
+    m = spark.read.parquet(f"{wh}/manifests").toPandas()
+    assert m["partition_id"].is_unique
+    assert int(m["n_rows"].sum()) == n_total - n_del
