@@ -126,9 +126,19 @@ def main(argv: list[str] | None = None) -> None:
             }))
             return
 
-        # survivors re-key to their ORIGINAL partitions (same hash)
+        # survivors re-key to their ORIGINAL partitions (same hash).
+        # The rewrite is STAGED first: new blocks are materialized to a
+        # scratch dir and re-read from there, so every later action has a
+        # lineage rooted in the staging files — a .cache() is only a
+        # best-effort barrier, and a cache miss after the dynamic
+        # overwrite would recompute through the just-deleted source files
+        # (the CLAUDE.md read-then-overwrite rule, applied to blocks too)
         keyed = with_partition_key(kept, num_partitions)
-        new_blocks = encode_keyed(keyed).cache()
+        staging = f"{wh}/.delete_staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        encode_keyed(keyed).write.parquet(f"{staging}/blocks")
+        dec.unpersist()
+        new_blocks = spark.read.parquet(f"{staging}/blocks")
         live_pids = {
             r["partition_id"]
             for r in new_blocks.select("partition_id").distinct().collect()
@@ -173,7 +183,7 @@ def main(argv: list[str] | None = None) -> None:
         ]
         merged = spark.createDataFrame(rows, MANIFEST_SCHEMA)
         merged.coalesce(4).write.mode("overwrite").parquet(f"{wh}/manifests")
-        new_blocks.unpersist()
+        shutil.rmtree(staging, ignore_errors=True)
 
         print(json.dumps({
             "status": "ok",

@@ -63,12 +63,16 @@ def main(argv: list[str] | None = None) -> None:
     # is sound (Spark still applies the full WHERE exactly) and keeps the
     # every-pruned-relation-carries-filters invariant.
     preds = pushable_predicates(args.sql, args.view_name, available)
-    if preds:
-        if cols is not None:  # predicate columns must be in the projection
-            import re as _re
+    if preds and args.columns and args.columns != "*":
+        # an EXPLICIT --columns list is a schema contract ("only these
+        # columns"): baking a predicate on a column outside it would widen
+        # the view (SELECT * would grow a column) — skip the bake instead
+        import re as _re
 
-            need = [_re.match(r"\s*(\w+)", p).group(1) for p in preds]
-            cols = cols + [c for c in need if c not in cols]
+        need = {_re.match(r"\s*(\w+)", p).group(1) for p in preds}
+        if not need <= set(cols):
+            preds = []
+    if preds:
         backing = scan_warehouse(spark, args.warehouse, preds, columns=cols)
     else:
         backing = read_warehouse(spark, args.warehouse, columns=cols)

@@ -199,3 +199,63 @@ def test_pushable_predicates_bails_on_comments():
     assert pushable_predicates(
         "SELECT * FROM t /* WHERE */ WHERE conv_id = 'c'",
         "t", AVAILABLE) == []
+
+
+def test_pushable_predicates_scoping_bailouts():
+    """Review findings (r4): a WHERE that may belong to another scope —
+    set operations, derived tables renaming columns, scalar subqueries —
+    must bake nothing; NATURAL JOIN must keep the full schema."""
+    from vcf2df_spark.scan import pushable_predicates
+
+    # the WHERE belongs to u, not t: baking would drop t-branch rows
+    assert pushable_predicates(
+        "SELECT conv_id FROM t UNION ALL SELECT conv_id FROM u "
+        "WHERE turn_idx = 0", "t", AVAILABLE) == []
+    # derived table renames turn_idx: outer WHERE is NOT a base predicate
+    assert pushable_predicates(
+        "SELECT * FROM (SELECT turn_idx+1 AS turn_idx FROM t) x "
+        "WHERE turn_idx = 5", "t", AVAILABLE) == []
+    # scalar subquery: two SELECTs -> bail
+    assert pushable_predicates(
+        "SELECT (SELECT max(turn_idx) FROM t) WHERE conv_id = 'c'",
+        "t", AVAILABLE) == []
+    # the plain single-select case still bakes
+    assert pushable_predicates(
+        "SELECT text FROM t WHERE conv_id = 'c'", "t", AVAILABLE
+    ) == ["conv_id = 'c'"]
+
+
+def test_referenced_columns_natural_join_keeps_all():
+    """NATURAL JOIN uses shared columns without naming them — the one SQL
+    construct that breaks name-based projection inference."""
+    assert referenced_columns(
+        "SELECT count(1) AS n FROM t NATURAL JOIN other", AVAILABLE
+    ) is None
+
+
+def test_explicit_columns_contract_not_widened(spark, wh, capsys):
+    """--columns is a schema contract: a bakeable predicate on a column
+    outside the list must NOT widen the view. The bake is skipped, so the
+    query fails ANALYSIS loudly (conv_id not in the 2-column view) instead
+    of silently returning a 3-column SELECT *."""
+    from pyspark.errors import AnalysisException
+
+    import jobs.query as query_job
+
+    cid = datasource.read_warehouse(spark, wh).select("conv_id").first()[0]
+    with pytest.raises(AnalysisException):
+        query_job.main([
+            "--warehouse", wh, "--columns", "role,text",
+            "--sql", f"SELECT * FROM t WHERE conv_id = '{cid}'",
+        ])
+    # and with the predicate column included, it works and stays 3 columns
+    import json
+
+    query_job.main([
+        "--warehouse", wh, "--columns", "role,text,conv_id",
+        "--sql", f"SELECT * FROM t WHERE conv_id = '{cid}' LIMIT 5",
+    ])
+    lines = [json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["status"] == "ok"
+    assert set(lines[0].keys()) == {"role", "text", "conv_id"}

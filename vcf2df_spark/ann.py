@@ -158,10 +158,17 @@ def build_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{out}/assignments"
     )
+    # vector count from the written parquet FOOTERS (driver-side metadata)
+    # — a df.count() here would be a second full corpus scan
+    import pyarrow.dataset as pads
+
+    n_vectors = pads.dataset(
+        f"{out}/assignments", format="parquet", partitioning="hive"
+    ).count_rows()
     return {
         "k_cells": k_cells,
         "iters": iters,
-        "n_vectors": emb.count(),
+        "n_vectors": n_vectors,
     }
 
 

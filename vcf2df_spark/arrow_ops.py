@@ -156,21 +156,22 @@ def encode_string_column(
     table = denc.dictionary
     ndv = len(table)
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    # canonical (sorted) dictionary order. pyarrow assigns codes by FIRST
-    # OCCURRENCE, which differs chunk to chunk — the sink's page zstd then
-    # compresses adjacent chunks' packed-code payloads with ONE entropy
-    # table over a MIXTURE of distributions (measured +6% on role vs
-    # per-blob compression). Sorting aligns every chunk's code assignment,
-    # so cross-chunk payload bytes share a single distribution; this is
-    # what closes the role-column gap vs parquet's RLE_DICT.
-    if 0 < ndv <= 4096:
+
+    if 0 < ndv <= 4096 and ndv <= max(n / 4, 1):
+        # canonical (sorted) dictionary order. pyarrow assigns codes by
+        # FIRST OCCURRENCE, which differs chunk to chunk — the sink's page
+        # zstd then compresses adjacent chunks' packed-code payloads with
+        # ONE entropy table over a MIXTURE of distributions (measured +6%
+        # on role vs per-blob compression). Sorting aligns every chunk's
+        # code assignment, so cross-chunk payload bytes share a single
+        # distribution; this closes the role-column gap vs parquet's
+        # RLE_DICT. (Gated to the dict/rle branch — a high-ndv chunk that
+        # can't take these codecs must not pay the O(n) remap.)
         order = pc.sort_indices(table).to_numpy(zero_copy_only=False)
         rank = np.empty(ndv, dtype=np.int64)
         rank[order] = np.arange(ndv, dtype=np.int64)
         codes = rank[codes]
         table = table.take(pa.array(order))
-
-    if ndv <= 4096 and ndv <= max(n / 4, 1):
         tbuf, tlens = string_buf_lengths(table)
         aux_table = strutil.pack_str_list(
             [bytes(memoryview(tbuf)[s:e]) for s, e in _spans(tlens)]

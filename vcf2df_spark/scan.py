@@ -392,6 +392,14 @@ def pushable_predicates(sql: str, view: str, available: list[str]) -> list[str]:
 
     if "--" in sql or "/*" in sql:
         return []  # comments could disguise non-applied text as a conjunct
+    # exactly ONE SELECT: with set operations (UNION/...), derived tables
+    # in FROM, or scalar subqueries, a WHERE found by regex may belong to
+    # a different scope (or to renamed columns) — baking it onto the base
+    # relation would silently drop rows
+    if len(re.findall(r"(?i)\bselect\b", sql)) != 1:
+        return []
+    if re.search(r"(?i)\b(union|intersect|except)\b", sql):
+        return []
     if len(re.findall(rf"(?i)(?<!\w){re.escape(view)}(?!\w)", sql)) != 1:
         return []
     if re.search(r"(?i)\bjoin\b", sql):
@@ -442,6 +450,11 @@ def referenced_columns(sql: str, available: list[str]) -> list[str] | None:
     """
     import re
 
+    if re.search(r"(?i)\bnatural\b", sql):
+        # NATURAL JOIN uses shared columns WITHOUT naming them — the only
+        # construct that breaks the "SQL must name a column to use it"
+        # premise; keep the full schema so the implicit key set is intact
+        return None
     s = re.sub(r"count\s*\(\s*\*\s*\)", " count_rows ", sql, flags=re.I)
     if "*" in s:
         return None
