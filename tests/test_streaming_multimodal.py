@@ -362,3 +362,38 @@ def test_conversation_state_ttl_closes_sessions(spark, tmp_path):
     # new session's update counts only the new turn
     fresh = got[(got["conv_id"] == "conv-A") & (got["n_turns"] == 1)]
     assert len(fresh) == 1 and not fresh["closed"].iloc[0]
+
+
+def test_streaming_warehouse_point_lookup_routed(spark, tmp_path):
+    """ADVICE r3 (medium): streaming manifests now record num_partitions,
+    so a point lookup on a streaming warehouse routes by hash instead of
+    falling into the conv-range fallback (which cannot prune a hash layout
+    and previously dropped partitions with suppressed stats). The lookup
+    must return the COMPLETE conversation across epochs."""
+    from vcf2df_spark.scan import _route, fetch_conversation
+
+    src = fixtures.transcripts_small(n_convs=40)
+    indir = tmp_path / "pin"
+    indir.mkdir()
+    half = len(src) // 2
+    fixtures.write_parquet(src.iloc[:half], str(indir / "a.parquet"))
+    fixtures.write_parquet(src.iloc[half:], str(indir / "b.parquet"))
+
+    wh = str(tmp_path / "pwh")
+    q = streaming.incremental_encode(
+        spark, str(indir), wh, checkpoint=str(tmp_path / "pck"),
+        num_partitions=4, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    # routing metadata is on record -> the exact hash route, not the range
+    # fallback (which returns [] on streaming layouts without it)
+    cid = src["conv_id"].iloc[len(src) // 3]
+    pids, _ = _route(wh, cid)
+    assert pids is not None and len(pids) <= 4
+
+    got = fetch_conversation(spark, wh, cid)
+    want = src[src["conv_id"] == cid].sort_values("turn_idx")
+    assert len(got) == len(want) > 0
+    assert list(got["turn_idx"]) == list(want["turn_idx"])
+    assert list(got["text"]) == list(want["text"])
