@@ -78,13 +78,18 @@ def main(argv: list[str] | None = None) -> None:
         backing = read_warehouse(spark, args.warehouse, columns=cols)
     backing.createOrReplaceTempView(args.view_name)
     out = spark.sql(args.sql)
-    rows = out.limit(args.limit).collect()
-    # only pay a second decode pass for the total when the limit truncated
-    n = len(rows) if len(rows) < args.limit else out.count()
+    # LIMIT n+1 detects truncation in the SAME pass: a truncated result is
+    # reported as ">=n" instead of paying a second full decode for the
+    # exact total (on a 100-TB warehouse that second pass doubles exactly
+    # the big queries)
+    rows = out.limit(args.limit + 1).collect()
+    truncated = len(rows) > args.limit
+    rows = rows[: args.limit]
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
-    print(json.dumps({"status": "ok", "rows": n,
-                      "shown": min(n, args.limit),
+    print(json.dumps({"status": "ok",
+                      "rows": f">={args.limit}" if truncated else len(rows),
+                      "shown": len(rows), "truncated": truncated,
                       "wall_sec": round(time.time() - t0, 2)}))
     if owns_session:
         spark.stop()

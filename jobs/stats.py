@@ -58,10 +58,13 @@ def warehouse_stats(warehouse: str) -> dict:
         if sig:
             for col, ct in json.loads(sig).items():
                 schema.setdefault(col, ct or "str")
+    # streaming (epoch) warehouses: the block identity is (partition_id,
+    # epoch) — counting distinct partition_id alone would understate the
+    # physical block-dir count the rest of the engine routes on
     return {
         "status": "ok",
         "warehouse": warehouse,
-        "partitions": len({r["partition_id"] for r in rows}),
+        "partitions": len({(r["partition_id"], r.get("epoch")) for r in rows}),
         "n_rows": n_rows,
         "n_chunks": n_chunks,
         "raw_bytes": raw_b,

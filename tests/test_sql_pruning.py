@@ -259,3 +259,29 @@ def test_explicit_columns_contract_not_widened(spark, wh, capsys):
              for l in capsys.readouterr().out.strip().splitlines()]
     assert lines[-1]["status"] == "ok"
     assert set(lines[0].keys()) == {"role", "text", "conv_id"}
+
+
+def test_query_job_truncated_result_single_pass(spark, wh, capsys, monkeypatch):
+    """A truncated result must NOT pay a second decode pass for the exact
+    total: the job fetches limit+1 rows in one action and reports '>=N'.
+    DataFrame.count is poisoned to prove no second action runs."""
+    import json
+
+    from pyspark.sql import DataFrame
+
+    import jobs.query as query_job
+
+    def _boom(self):
+        raise AssertionError("second pass: DataFrame.count called")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    query_job.main([
+        "--warehouse", wh,
+        "--sql", "SELECT conv_id, turn_idx FROM t ORDER BY conv_id, turn_idx",
+        "--limit", "7",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rows, summary = lines[:-1], lines[-1]
+    assert len(rows) == 7
+    assert summary["truncated"] is True and summary["rows"] == ">=7"
+    assert summary["shown"] == 7

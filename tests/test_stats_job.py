@@ -43,3 +43,30 @@ def test_stats_empty_warehouse(tmp_path, capsys):
         stats_job.main(["--warehouse", str(tmp_path / "nope")])
     rec = json.loads(capsys.readouterr().out.strip())
     assert rec["status"] == "error"
+
+
+def test_stats_epoch_warehouse_counts_block_dirs(spark, tmp_path, capsys):
+    """Streaming warehouses: the block identity is (partition_id, epoch),
+    so 'partitions' must count the physical epoch dirs, not collapse the
+    same pid committed in N epochs into one (ADVICE r4)."""
+    import jobs.stats as stats_job
+
+    src = normalize_input(
+        spark.createDataFrame(fixtures.transcripts_small(n_convs=20))
+    )
+    wh = str(tmp_path / "ewh")
+    blocks = encode_transcripts(src, num_partitions=2)
+    for epoch in (0, 1):
+        blocks.write.partitionBy("partition_id").parquet(
+            f"{wh}/blocks/epoch={epoch}"
+        )
+        manifest.build_manifests(
+            blocks, f"sjob-epoch{epoch}", "mem", num_partitions=2
+        ).write.parquet(f"{wh}/manifests/epoch={epoch}")
+
+    stats_job.main(["--warehouse", wh])
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["status"] == "ok"
+    assert rec["partitions"] == 4  # 2 pids x 2 epochs
+    assert rec["epochs"] == [0, 1]
+    assert rec["n_rows"] == 2 * src.count()
