@@ -9,6 +9,16 @@
         --probe-vec-id 42 --embeddings /path/embeddings.parquet \
         --top-k 10 --nprobe 4
 
+    # incremental maintenance: assign NEW vectors with the persisted
+    # centroids, append into the cell dirs (no rebuild):
+    spark-submit ... jobs/index.py --out /path/ann_index \
+        --embeddings /path/new_embeddings.parquet --append
+
+    # delete cascade (run after jobs/delete.py erases the warehouse rows —
+    # GDPR erasure is incomplete while the index serves deleted vectors):
+    spark-submit ... jobs/index.py --out /path/ann_index \
+        --embeddings /path/embeddings.parquet --forget 42 --forget 43
+
 The similarity-search analogue of the warehouse point lookup: the index is
 built once (one map-only assignment pass + a partitioned write), and every
 probe touches only ``nprobe`` of the ``k_cells`` hive partition dirs.
@@ -35,6 +45,15 @@ def main(argv: list[str] | None = None) -> None:
                         "centroids only, SQL-reproducible)")
     p.add_argument("--skip-build", action="store_true",
                    help="probe an existing index without rebuilding")
+    p.add_argument("--append", action="store_true",
+                   help="incremental maintenance: assign --embeddings with "
+                        "the index's PERSISTED centroids and append into "
+                        "the cell dirs (no rebuild)")
+    p.add_argument("--forget", action="append", default=None,
+                   help="repeatable id-col value: drop these vectors from "
+                        "the index (the delete cascade for jobs/delete.py "
+                        "— GDPR erasure is incomplete while an index keeps "
+                        "serving deleted vectors)")
     p.add_argument("--probe-vec-id", type=int, default=None,
                    help="probe: report top-k neighbors of this vector")
     p.add_argument("--top-k", type=int, default=5)
@@ -56,7 +75,22 @@ def main(argv: list[str] | None = None) -> None:
     emb = spark.read.parquet(args.embeddings)
 
     out: dict = {"status": "ok", "index": args.out}
-    if not args.skip_build:
+    if args.forget:
+        # id-col values arrive as strings; coerce to the column's type
+        id_type = dict(emb.dtypes).get(args.id_col, "string")
+        ids = [
+            int(v) if id_type in ("bigint", "int", "smallint") else v
+            for v in args.forget
+        ]
+        out.update(ann.forget(spark, args.out, ids, id_col=args.id_col))
+    elif args.append:
+        out.update(
+            ann.append_index(
+                spark, emb, args.out,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        )
+    elif not args.skip_build:
         out.update(
             ann.build_index(
                 spark, emb, args.out, k_cells=args.k_cells,

@@ -126,3 +126,150 @@ def test_index_job_cli(spark, tmp_path, capsys):
     assert len(ns) == 3 and all(n["vec_id"] != 5 for n in ns)
     cosines = [n["cosine"] for n in ns]
     assert cosines == sorted(cosines, reverse=True)
+
+
+# --- batched (production-k) assignment + index lifecycle (r5) ----------------
+
+
+def _explain(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_batched_assignment_parity_with_literal(spark, tmp_path):
+    """Both assignment paths honor the same rounded-sim/tie-break
+    contract: same corpus, same seeds -> identical cell assignments and
+    identical probe results."""
+    emb, vecs = _emb_df(spark, n=50)
+    a, b = str(tmp_path / "lit"), str(tmp_path / "vec")
+    il = ann.build_index(spark, emb, a, k_cells=4, iters=1, vectorized=False)
+    iv = ann.build_index(spark, emb, b, k_cells=4, iters=1, vectorized=True)
+    assert il["assignment"] == "literal" and iv["assignment"] == "batched"
+    la = spark.read.parquet(f"{a}/assignments").select("vec_id", "cell")
+    va = spark.read.parquet(f"{b}/assignments").select("vec_id", "cell")
+    assert sorted(map(tuple, la.collect())) == sorted(map(tuple, va.collect()))
+    pl = ann.probe(spark, a, vecs[3], top_k=5, nprobe=2, exclude_id=3).collect()
+    pv = ann.probe(spark, b, vecs[3], top_k=5, nprobe=2, exclude_id=3).collect()
+    assert pl == pv
+
+
+def test_production_k_auto_batched(spark, tmp_path):
+    """k_cells*dim past the literal threshold auto-switches to the
+    pandas_udf batch argmax: the plan carries ONE ArrowEvalPython node,
+    not k inlined higher-order folds (which are codegen fallbacks and
+    would be O(k*dim) expression nodes at production IVF scale)."""
+    emb, vecs = _emb_df(spark, n=300)
+    root = str(tmp_path / "bigk")
+    info = ann.build_index(spark, emb, root, k_cells=256, iters=0)
+    assert info["assignment"] == "batched"
+    assert info["n_vectors"] == 300
+
+    # plan evidence: batched path is one Arrow-vectorized python eval
+    e = emb.withColumn("_v", F.col("embedding").cast("array<double>"))
+    e = e.withColumn("_vnorm", F.sqrt(F.aggregate(
+        F.zip_with("_v", "_v", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v)))
+    cents = [[float(x) for x in vecs[i]] for i in range(256)]
+    import numpy as np
+
+    cnorms = [float(np.linalg.norm(np.asarray(c))) for c in cents]
+    assign = ann.assignment_expr(spark, cents, cnorms, vectorized=True)
+    plan = _explain(e.select(assign(F.col("_v"), F.col("_vnorm"))))
+    assert "ArrowEvalPython" in plan
+    lit = ann.assignment_expr(spark, cents[:4], cnorms[:4], vectorized=False)
+    plan_lit = _explain(e.select(lit(F.col("_v"), F.col("_vnorm"))))
+    assert "ArrowEvalPython" not in plan_lit
+
+    # and the index it built actually probes
+    got = ann.probe(spark, root, vecs[0], top_k=3, nprobe=4, exclude_id=0)
+    assert got.count() == 3
+
+
+def test_append_equals_full_rebuild(spark, tmp_path):
+    """build(old) + append(new) == build(old+new) when the quantizer is
+    the same in both (iters=0 seeds, and the seed window — the k smallest
+    ids — is unchanged because new ids are larger): same assignments,
+    same probe. A REFINED quantizer rebuilt over old+new is a different
+    geometry by construction; append's contract is the persisted one."""
+    all_emb, vecs = _emb_df(spark, n=48)
+    old = all_emb.filter(F.col("vec_id") < 36)
+    new = all_emb.filter(F.col("vec_id") >= 36)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ann.build_index(spark, old, inc, k_cells=4, iters=0)
+    rec = ann.append_index(spark, new, inc)
+    assert rec["n_appended"] == 12 and rec["n_vectors"] == 48
+    ann.build_index(spark, all_emb, full, k_cells=4, iters=0)
+    ai = spark.read.parquet(f"{inc}/assignments").select("vec_id", "cell")
+    af = spark.read.parquet(f"{full}/assignments").select("vec_id", "cell")
+    assert sorted(map(tuple, ai.collect())) == sorted(map(tuple, af.collect()))
+    pi = ann.probe(spark, inc, vecs[40], top_k=5, nprobe=2, exclude_id=40)
+    pf = ann.probe(spark, full, vecs[40], top_k=5, nprobe=2, exclude_id=40)
+    assert pi.collect() == pf.collect()
+
+
+def test_forget_removes_ids_and_bounds_rewrite(spark, tmp_path):
+    """The delete cascade: forgotten ids never come back from a probe, and
+    only the cells that held them are rewritten (untouched cell dirs keep
+    their exact file set)."""
+    import os
+
+    emb, vecs = _emb_df(spark, n=40)
+    root = str(tmp_path / "fidx")
+    ann.build_index(spark, emb, root, k_cells=4, iters=0)
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{root}/assignments")
+        .select("vec_id", "cell").collect()
+    }
+    victims = [1, 2]
+    hit = {cell_of[v] for v in victims}
+    untouched = [c for c in {0, 1, 2, 3} - hit]
+    files_before = {
+        c: sorted(os.listdir(f"{root}/assignments/cell={c}"))
+        for c in untouched
+    }
+
+    rec = ann.forget(spark, root, victims)
+    assert rec["n_forgotten"] == 2
+    assert set(rec["cells_rewritten"]) | set(rec["cells_emptied"]) <= hit
+
+    left = spark.read.parquet(f"{root}/assignments")
+    assert left.count() == 38
+    assert left.filter(F.col("vec_id").isin(victims)).count() == 0
+    for c in untouched:
+        assert sorted(os.listdir(f"{root}/assignments/cell={c}")) == \
+            files_before[c]
+    # a probe aimed straight at a victim's own cell never returns it
+    got = ann.probe(spark, root, vecs[1], top_k=38, nprobe=4).collect()
+    assert all(r["vec_id"] not in victims for r in got)
+    # idempotent / miss: forgetting unknown ids is a no-op
+    assert ann.forget(spark, root, [999])["n_forgotten"] == 0
+
+
+def test_forget_rejects_remote_uri(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="local"):
+        ann.forget(spark, "s3://bucket/idx", [1])
+
+
+def test_index_job_append_and_forget_cli(spark, tmp_path, capsys):
+    import jobs.index as index_job
+
+    emb, _ = _emb_df(spark, n=30)
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    emb.filter(F.col("vec_id") < 24).write.parquet(old)
+    emb.filter(F.col("vec_id") >= 24).write.parquet(new)
+    out = str(tmp_path / "lidx")
+    index_job.main(["--embeddings", old, "--out", out, "--k-cells", "4"])
+    index_job.main(["--embeddings", new, "--out", out, "--append"])
+    index_job.main(["--embeddings", old, "--out", out, "--forget", "7",
+                    "--probe-vec-id", "3", "--top-k", "5", "--nprobe", "4"])
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert recs[-3]["n_vectors"] == 24
+    assert recs[-2]["n_appended"] == 6 and recs[-2]["n_vectors"] == 30
+    assert recs[-1]["n_forgotten"] == 1
+    assert all(n["vec_id"] != 7 for n in recs[-1]["probe"]["neighbors"])

@@ -30,10 +30,20 @@ oracle-recomputable in one SQL statement.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SIM_DECIMALS = 6  # assignment rounds sims before argmax (cross-engine parity)
+
+# k_cells * dim above which assignment switches from the literal-folded
+# projection to the batched pandas_udf: higher-order functions are codegen
+# fallbacks and CSE does not collapse repeated folds, so at production IVF
+# scale (k ~ sqrt(N), real dims) the literal plan is O(k*dim) expression
+# nodes — it would not compile or run acceptably. The literal path stays
+# the default at oracle scale (exact sequential-fold parity with DuckDB).
+_LITERAL_MAX_ENTRIES = 512
 
 
 def _lit_vec(values) -> F.Column:
@@ -77,6 +87,61 @@ def _assign_cell(vec, vnorm, cents: list, cnorms: list) -> F.Column:
     return F.array_min(F.array(*entries))["cell"]
 
 
+def _assign_cell_batched(spark: SparkSession, cents: list, cnorms: list):
+    """Batched argmax assignment for production k: one Arrow-vectorized
+    pandas_udf doing a numpy matmul against a BROADCAST (k x dim) centroid
+    matrix — O(1) plan nodes regardless of k, versus the literal path's
+    O(k*dim) folded expressions.
+
+    Same rounded-sim/tie-break contract as ``_assign_cell``: sims rounded
+    to ``_SIM_DECIMALS`` before argmax, ties (and zero-norm vectors, whose
+    sims are all -inf) break to the smallest cell id (np.argmax returns
+    the FIRST max). The only divergence from the literal path is dot
+    accumulation order (BLAS vs sequential fold) — a last-ulp difference
+    that the rounding makes vanishingly unlikely to flip an argmax; the
+    oracle-checked small-k path always uses the literal fold.
+    """
+    bc = spark.sparkContext.broadcast(
+        (
+            np.asarray(cents, dtype=np.float64),
+            np.asarray(cnorms, dtype=np.float64),
+        )
+    )
+
+    @F.pandas_udf("int")
+    def assign(vec: pd.Series, vnorm: pd.Series) -> pd.Series:
+        cmat, cn = bc.value
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack(vec.to_numpy())  # (n, dim)
+        sims = v @ cmat.T  # (n, k)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round(
+                sims / (vnorm.to_numpy()[:, None] * cn[None, :]),
+                _SIM_DECIMALS,
+            )
+        sims = np.where(np.isfinite(sims), sims, -np.inf)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
+def assignment_expr(
+    spark: SparkSession,
+    cents: list,
+    cnorms: list,
+    vectorized: bool | None = None,
+) -> "callable[[Column, Column], Column]":
+    """(vec, vnorm) -> cell expression; literal fold for oracle-scale k,
+    batched pandas_udf above ``_LITERAL_MAX_ENTRIES`` plan entries."""
+    if vectorized is None:
+        vectorized = len(cents) * len(cents[0]) > _LITERAL_MAX_ENTRIES
+    if vectorized:
+        udf = _assign_cell_batched(spark, cents, cnorms)
+        return lambda vec, vnorm: udf(vec, vnorm)
+    return lambda vec, vnorm: _assign_cell(vec, vnorm, cents, cnorms)
+
+
 def _centroid_norms(spark: SparkSession, cents: list) -> list:
     """Norms via the same in-engine fold as every other similarity (a
     driver-side numpy norm could differ in the last ulp and flip a
@@ -97,13 +162,19 @@ def build_index(
     iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool | None = None,
 ) -> dict:
     """Write an IVF index: ``{out}/centroids.parquet`` (cell, centroid,
     cnorm) + ``{out}/assignments/cell=C/`` (all input columns + cell).
 
     Seed centroids are the ``k_cells`` smallest-``id_col`` vectors;
     ``iters`` Lloyd rounds refine them (deterministic, same seed -> same
-    index). Returns {"k_cells", "iters", "n_vectors"}.
+    index; refined per-dimension means are ROUNDED to ``_SIM_DECIMALS``
+    so a refined quantizer stays reproducible across engines — an
+    unrounded mean differs in the last ulp between summation orders).
+    ``vectorized`` picks the assignment path (None = by k_cells*dim; see
+    ``assignment_expr``). Returns {"k_cells", "iters", "n_vectors",
+    "assignment"}.
     """
     e = (
         emb.withColumn("_v", F.col(vec_col).cast("array<double>"))
@@ -121,14 +192,17 @@ def build_index(
 
     for _ in range(iters):
         cnorms = _centroid_norms(spark, cents)
-        asg = e.withColumn(
-            "cell", _assign_cell(F.col("_v"), F.col("_vnorm"), cents, cnorms)
-        )
-        # per-dimension means: partial (map-side) agg -> k*dim tiny rows
+        assign = assignment_expr(spark, cents, cnorms, vectorized)
+        asg = e.withColumn("cell", assign(F.col("_v"), F.col("_vnorm")))
+        # per-dimension means: partial (map-side) agg -> k*dim tiny rows.
+        # Rounded IN-ENGINE (F.round = HALF_UP, same as the SQL oracle's
+        # round) so a refined quantizer is reproducible across engines —
+        # an unrounded mean differs in the last ulp between summation
+        # orders, and Python's round() is HALF_EVEN, not HALF_UP.
         means = (
             asg.select("cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), _SIM_DECIMALS).alias("m"))
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
@@ -152,23 +226,145 @@ def build_index(
     cents_df.coalesce(1).write.mode("overwrite").parquet(
         f"{out}/centroids.parquet"
     )
+    assign = assignment_expr(spark, cents, cnorms, vectorized)
     assigned = e.withColumn(
-        "cell", _assign_cell(F.col("_v"), F.col("_vnorm"), cents, cnorms)
+        "cell", assign(F.col("_v"), F.col("_vnorm"))
     ).drop("_v", "_vnorm")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{out}/assignments"
     )
-    # vector count from the written parquet FOOTERS (driver-side metadata)
-    # — a df.count() here would be a second full corpus scan
-    import pyarrow.dataset as pads
-
-    n_vectors = pads.dataset(
-        f"{out}/assignments", format="parquet", partitioning="hive"
-    ).count_rows()
     return {
         "k_cells": k_cells,
         "iters": iters,
-        "n_vectors": n_vectors,
+        "n_vectors": _count_rows(f"{out}/assignments"),
+        "assignment": (
+            "batched"
+            if (
+                vectorized
+                if vectorized is not None
+                else k_cells * len(cents[0]) > _LITERAL_MAX_ENTRIES
+            )
+            else "literal"
+        ),
+    }
+
+
+def _count_rows(path: str, **filter_kwargs) -> int:
+    """Row count from the parquet FOOTERS (driver-side metadata) — a
+    df.count() here would be a second full corpus scan."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path, format="parquet", partitioning="hive").count_rows(
+        **filter_kwargs
+    )
+
+
+def append_index(
+    spark: SparkSession,
+    emb_new: DataFrame,
+    index: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool | None = None,
+) -> dict:
+    """Incremental index maintenance: assign NEW vectors with the
+    PERSISTED centroids and append them into the cell dirs — no rebuild,
+    existing cells' files untouched. The quantizer is whatever
+    ``build_index`` committed (seeds or Lloyd-refined), so a probe after
+    append sees old + new vectors under one consistent cell geometry.
+
+    At scale this is the streaming-epoch story: each new embedding batch
+    is one map-only assignment + a partitioned append (no shuffle beyond
+    the partitionBy write), O(batch) not O(corpus).
+    """
+    cents_rows = (
+        spark.read.parquet(f"{index}/centroids.parquet").orderBy("cell").collect()
+    )
+    cents = [list(r["centroid"]) for r in cents_rows]
+    cnorms = [r["cnorm"] for r in cents_rows]
+    before = _count_rows(f"{index}/assignments")
+    e = (
+        emb_new.withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .withColumn("_vnorm", _norm(F.col("_v")))
+    )
+    assign = assignment_expr(spark, cents, cnorms, vectorized)
+    e.withColumn("cell", assign(F.col("_v"), F.col("_vnorm"))).drop(
+        "_v", "_vnorm"
+    ).write.mode("append").partitionBy("cell").parquet(f"{index}/assignments")
+    after = _count_rows(f"{index}/assignments")
+    return {"n_appended": after - before, "n_vectors": after}
+
+
+def forget(
+    spark: SparkSession,
+    index: str,
+    ids: list,
+    id_col: str = "vec_id",
+) -> dict:
+    """Delete cascade: drop vectors from the index so a probe never serves
+    them again (the GDPR completion of jobs/delete.py — a warehouse delete
+    without this leaves the erased ids living on in the ANN index).
+
+    Routed rewrite: only the cells that HOLD the ids are rewritten (the
+    id filter is pushed into the parquet scan, so untouched cells prune at
+    the row-group level); survivors are staged to a scratch dir first
+    (lineage cut — never read-then-overwrite one path in a single lazy
+    plan) and swapped in via dynamic partition overwrite. A cell emptied
+    entirely has its dir removed. Local-filesystem indexes only (loud
+    failure otherwise — see fsutil).
+    """
+    from . import fsutil
+
+    local = fsutil.require_local(index, "index")
+    ids = sorted(set(ids))
+    asg = spark.read.parquet(f"{index}/assignments")
+    hit_cells = sorted(
+        r["cell"]
+        for r in asg.filter(F.col(id_col).isin(ids))
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not hit_cells:
+        return {"n_forgotten": 0, "cells_rewritten": [], "cells_emptied": []}
+
+    staging = f"{local}/.forget_staging"
+    fsutil.rmtree_checked(staging)
+    touched = asg.filter(F.col("cell").isin(hit_cells))
+    kept = touched.filter(~F.col(id_col).isin(ids))
+    kept.write.parquet(staging)
+
+    import pyarrow.dataset as pads
+
+    n_touched = _count_rows(
+        f"{index}/assignments", filter=pads.field("cell").isin(hit_cells)
+    )
+    staged = spark.read.parquet(staging)
+    n_kept = _count_rows(staging)
+
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{index}/assignments"
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    live = {
+        r["cell"] for r in staged.select("cell").distinct().collect()
+    }
+    emptied = sorted(set(hit_cells) - live)
+    for c in emptied:
+        fsutil.rmtree_checked(f"{local}/assignments/cell={c}")
+    fsutil.rmtree_checked(staging)
+    return {
+        "n_forgotten": n_touched - n_kept,
+        "cells_rewritten": sorted(live & set(hit_cells)),
+        "cells_emptied": emptied,
     }
 
 

@@ -502,13 +502,15 @@ def q_ivf_probe(spark, sf_dir):
 
 def q_ann_index_probe(spark, sf_dir):
     """Engine-through persisted ANN: build the IVF index WITH the engine
-    (``ann.build_index`` — seed centroids, map-only rounded-argmax
-    assignment, hive-partitioned cells), then probe the 2 nearest cells
-    for vector 0's top-5 cosine neighbors (``ann.probe`` reads only those
-    cells' partition dirs). The oracle recomputes the same quantizer and
-    probe in SQL, so equality proves the PERSISTED index assigns, prunes,
-    and scores exactly. iters=0 keeps the quantizer one SQL statement;
-    jobs/index.py exposes deterministic Lloyd refinement for production."""
+    (``ann.build_index`` — seed centroids, ONE Lloyd refinement round,
+    map-only rounded-argmax assignment, hive-partitioned cells), then
+    probe the 2 nearest cells for vector 0's top-5 cosine neighbors
+    (``ann.probe`` reads only those cells' partition dirs). The oracle
+    recomputes the same quantizer — seeds, assignment, per-dimension
+    means rounded HALF_UP to 6 decimals (the cross-engine reproducibility
+    contract), empty-cell seed fallback, re-assignment — and the probe in
+    SQL, so equality proves the PERSISTED refined index assigns, prunes,
+    and scores exactly."""
     import re
     import shutil
 
@@ -517,7 +519,7 @@ def q_ann_index_probe(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     idx = "/tmp/vcf2df_annidx_" + re.sub(r"\W", "_", sf_dir.strip("/"))
     shutil.rmtree(idx, ignore_errors=True)
-    ann.build_index(spark, emb, idx, k_cells=8, iters=0)
+    ann.build_index(spark, emb, idx, k_cells=8, iters=1)
     qvec = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("v"))
@@ -884,17 +886,48 @@ ORACLES = {
         SELECT source, count(*) AS n_contaminated FROM hits GROUP BY source
     """,
     "ann_index_probe": """
-        WITH cents AS (
+        WITH seeds AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                    embedding::DOUBLE[] AS ce
             FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        ), v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS vn
+            FROM embeddings
+        ), scored0 AS (
+            SELECT v.vec_id, v.ve, s.cid,
+                   round(list_dot_product(v.ve, s.ce)
+                         / (v.vn * sqrt(list_dot_product(s.ce, s.ce))),
+                         6) AS s
+            FROM v CROSS JOIN seeds s
+        ), asg0 AS (
+            SELECT vec_id, ve, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY s DESC, cid ASC) AS rn
+                FROM scored0
+            ) WHERE rn = 1
+        ), dims AS (
+            -- one Lloyd round: per-(cell, dimension) means, rounded
+            -- HALF_UP to 6 decimals (the engine's cross-engine contract)
+            SELECT cid, ve,
+                   unnest(generate_series(1, len(ve))) AS pos
+            FROM asg0
+        ), means AS (
+            SELECT cid, pos, round(avg(ve[pos]), 6) AS m
+            FROM dims GROUP BY cid, pos
+        ), refined AS (
+            SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid
+        ), cents AS (
+            -- a cell left empty keeps its seed centroid (Lloyd fallback)
+            SELECT s.cid, coalesce(r.ce, s.ce) AS ce
+            FROM seeds s LEFT JOIN refined r USING (cid)
         ), scored AS (
-            SELECT e.vec_id, e.embedding::DOUBLE[] AS ve, c.cid,
-                   round(list_dot_product(e.embedding::DOUBLE[], c.ce)
-                         / (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                                  e.embedding::DOUBLE[]))
-                            * sqrt(list_dot_product(c.ce, c.ce))), 6) AS s
-            FROM embeddings e CROSS JOIN cents c
+            SELECT v.vec_id, v.ve, c.cid,
+                   round(list_dot_product(v.ve, c.ce)
+                         / (v.vn * sqrt(list_dot_product(c.ce, c.ce))),
+                         6) AS s
+            FROM v CROSS JOIN cents c
         ), asg AS (
             SELECT vec_id, ve, cid FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
