@@ -163,3 +163,189 @@ def test_delete_on_sharded_layout(spark, tmp_path):
         s = int(shard.split("=")[1])
         for pd_dir in os.listdir(f"{wh}/blocks/{shard}"):
             assert int(pd_dir.split("=")[1]) % 2 == s
+
+
+def test_delete_never_collects_manifests_to_driver(spark, wh, monkeypatch):
+    """The manifests rewrite is a staged Spark write + dir swap — never a
+    driver materialization of the untouched table (at ~400k manifest rows
+    that would be a multi-hundred-MB single-threaded round-trip on every
+    delete). Every driver collect during the delete must stay O(touched):
+    routing metadata and touched-partition ids, nothing warehouse-sized."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract base
+    # in Spark 4 and its classic subclass overrides collect
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    full = read_warehouse(spark, wh)
+    cid = full.select("conv_id").first()[0]
+
+    collected: list[int] = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    code, rec = _run(delete_job.main, [
+        "--warehouse", wh, "--conv-id", cid, "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+    n_manifest_rows = spark.read.parquet(f"{wh}/manifests").count()
+    assert n_manifest_rows == 8  # one per partition, none dropped
+    # largest collect during the delete is far below the manifests table
+    assert collected and max(collected) <= len(rec["partitions_routed"]) + 1
+
+
+def test_delete_keeps_chunk_groups_whole_per_file(spark, tmp_path):
+    """Blocks write invariant under rewrite: every (partition, chunk)
+    group's block rows land in ONE file — the staged blocks are
+    repartitioned by partition_id before the dynamic overwrite, so a
+    staging scan split can never scatter a group across files (at
+    production dir sizes Spark splits scans at row-group boundaries)."""
+    import os
+
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "csrc.parquet"
+    fixtures.write_parquet(fixtures.transcripts_small(n_convs=80), str(src))
+    root = str(tmp_path / "cwh")
+    code, rec = _run(encode_job.main, [
+        "--input", str(src), "--out", root, "--partitions", "4",
+        "--job-id", "cg", "--master", "local[4]",
+    ])
+    assert code == 0
+
+    full = read_warehouse(spark, root)
+    cid = full.select("conv_id").first()[0]
+    n_total = full.count()  # BEFORE the rewrite (lazy plans re-read)
+    code, rec = _run(delete_job.main, [
+        "--warehouse", root, "--conv-id", cid, "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+
+    for pid in rec["partitions_rewritten"]:
+        d = f"{root}/blocks/partition_id={pid}"
+        files_of_chunk = defaultdict(set)
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(f"{d}/{fn}", columns=["chunk_idx"])
+            for ci in set(t.column("chunk_idx").to_pylist()):
+                files_of_chunk[ci].add(fn)
+        assert files_of_chunk, d
+        for ci, fns in files_of_chunk.items():
+            assert len(fns) == 1, (pid, ci, fns)
+
+    # and the read path actually decodes the rewritten warehouse
+    after = read_warehouse(spark, root)
+    assert after.count() == n_total - rec["rows_deleted"]
+    assert after.filter(F.col("conv_id") == cid).count() == 0
+
+
+def _stream_wh(spark, tmp_path) -> tuple[str, int]:
+    """Two-epoch streaming-shaped warehouse (micro-batch chunks)."""
+    from vcf2df_spark.encode import encode_transcripts, normalize_input
+
+    root = str(tmp_path / "epwh")
+    total = 0
+    for epoch in (0, 1):
+        pdf = fixtures.transcripts_small(n_convs=30, seed=11 + epoch)
+        pdf["conv_id"] = f"e{epoch}-" + pdf["conv_id"]
+        total += len(pdf)
+        src = normalize_input(spark.createDataFrame(pdf))
+        encode_transcripts(src, num_partitions=2, chunk_rows=64).write.parquet(
+            f"{root}/blocks/epoch={epoch}"
+        )
+    return root, total
+
+
+def test_delete_epoch_warehouse_refused_without_via_compact(spark, tmp_path):
+    """In-place rewrite of epoch dirs is unsafe (live checkpoint may
+    append; epoch IS the block identity) — the error says what to do."""
+    from vcf2df_spark import manifest
+
+    root, _ = _stream_wh(spark, tmp_path)
+    # streaming layout: one manifests/epoch=N dir per epoch (streaming.py)
+    for epoch in (0, 1):
+        blocks = spark.read.parquet(f"{root}/blocks/epoch={epoch}")
+        manifest.build_manifests(
+            blocks, f"s-epoch{epoch}", "mem", num_partitions=2
+        ).write.parquet(f"{root}/manifests/epoch={epoch}")
+    code, rec = _run(delete_job.main, [
+        "--warehouse", root, "--conv-id", "e0-conv-00000001",
+        "--master", "local[4]",
+    ])
+    assert code == 2 and rec["status"] == "error"
+    assert "--via-compact" in rec["error"]
+
+
+def test_delete_via_compact_on_epoch_warehouse(spark, tmp_path):
+    """Epoch-warehouse delete = filtered compaction: the new warehouse has
+    every surviving row bit-for-bit, none of the deleted conversation, and
+    serves routed point lookups."""
+    root, total = _stream_wh(spark, tmp_path)
+    full = read_warehouse(spark, root)
+    cid = full.select("conv_id").orderBy("conv_id").first()[0]
+    n_conv = full.filter(F.col("conv_id") == cid).count()
+    assert n_conv > 0
+    want = (
+        full.filter(F.col("conv_id") != cid)
+        .orderBy("conv_id", "turn_idx").collect()
+    )
+
+    out = str(tmp_path / "epout")
+    code, rec = _run(delete_job.main, [
+        "--warehouse", root, "--conv-id", cid, "--via-compact",
+        "--out", out, "--partitions", "4", "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+    assert rec["rows_deleted"] == n_conv
+    assert rec["rows"] == total - n_conv
+
+    after = read_warehouse(spark, out)
+    assert after.filter(F.col("conv_id") == cid).count() == 0
+    got = after.orderBy("conv_id", "turn_idx").collect()
+    assert got == want
+    assert len(fetch_conversation(spark, out, cid)) == 0
+    # the survivors' routed lookup works on the compacted output
+    other = want[0].conv_id
+    n_other = sum(1 for r in want if r.conv_id == other)
+    assert len(fetch_conversation(spark, out, other)) == n_other
+
+    # --via-compact without --out fails before touching anything
+    code, rec = _run(delete_job.main, [
+        "--warehouse", root, "--conv-id", cid, "--via-compact",
+        "--master", "local[4]",
+    ])
+    assert code == 2 and "--out" in rec["error"]
+
+
+def test_delete_rejects_remote_warehouse(spark):
+    """A remote URI would make the dir swaps silent no-ops (deleted rows
+    resurrect on the next read) — refuse loudly instead."""
+    code, rec = _run(delete_job.main, [
+        "--warehouse", "s3://bucket/wh", "--conv-id", "c-1",
+        "--master", "local[4]",
+    ])
+    assert code == 2 and rec["status"] == "error"
+    assert "local" in rec["error"]
+
+
+def test_delete_restores_overwrite_mode(spark, wh):
+    """partitionOverwriteMode is session-shared state: the job must
+    restore whatever was set before it ran."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    full = read_warehouse(spark, wh)
+    cid = full.select("conv_id").first()[0]
+    code, rec = _run(delete_job.main, [
+        "--warehouse", wh, "--conv-id", cid, "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
+    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
