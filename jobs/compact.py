@@ -17,6 +17,12 @@ as an end-to-end exercise of epoch-keyed decode. The output is written to
 a NEW warehouse directory: compaction never mutates its input (swap is the
 caller's atomic-rename/catalog-flip, matching the blocks-first,
 manifest-commit-last convention of the encode job).
+
+``run_compact`` is also the delete path for epoch warehouses
+(jobs/delete.py --via-compact): ``exclude_conv_ids`` drops those
+conversations during the re-encode, folding a GDPR erasure into the
+compaction a streaming warehouse periodically needs anyway — the delete
+rides a rewrite that was already scheduled, instead of paying its own.
 """
 
 from __future__ import annotations
@@ -25,6 +31,81 @@ import argparse
 import json
 import sys
 import time
+
+
+def run_compact(
+    spark,
+    warehouse: str,
+    out: str,
+    partitions: int = 32,
+    shard_dirs: int = 0,
+    job_id: str = "compact",
+    exclude_conv_ids: list[str] | None = None,
+) -> dict:
+    """Re-encode ``warehouse`` (any layout, incl. streaming epochs) into a
+    fresh batch-shaped warehouse at ``out``; optionally drop
+    ``exclude_conv_ids`` on the way. Returns the verdict dict."""
+    import os
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from vcf2df_spark import manifest
+    from vcf2df_spark.datasource import read_warehouse
+    from vcf2df_spark.decode import group_keys
+    from vcf2df_spark.encode import encode_keyed, with_partition_key
+
+    if os.path.exists(out):
+        return {"status": "error",
+                "error": f"--out {out} already exists; "
+                         "compaction writes a fresh warehouse"}
+
+    t0 = time.time()
+    old_blocks = spark.read.parquet(f"{warehouse}/blocks")
+    before = old_blocks.agg(
+        # epoch-aware chunk identity: two epochs may reuse (pid, chunk)
+        F.count_distinct(*group_keys(old_blocks)).alias("chunks"),
+        F.sum("enc_bytes").alias("enc"),
+        # row count from block METADATA (one column's n_rows), no decode
+        F.sum(F.when(F.col("column") == "conv_id", F.col("n_rows")))
+        .alias("rows"),
+    ).collect()[0]
+
+    df = read_warehouse(spark, warehouse)  # epoch-aware, shuffle-free
+    if exclude_conv_ids:
+        df = df.filter(~F.col("conv_id").isin(sorted(set(exclude_conv_ids))))
+    keyed = with_partition_key(df, partitions)
+    blocks = encode_keyed(keyed).persist(StorageLevel.MEMORY_AND_DISK)
+    after = blocks.agg(
+        F.sum(F.when(F.col("column") == "conv_id", F.col("n_rows"))).alias("rows"),
+        F.count_distinct("partition_id", "chunk_idx").alias("chunks"),
+        F.sum("enc_bytes").alias("enc"),
+    ).collect()[0]
+
+    if shard_dirs:
+        blocks.withColumn(
+            "shard", F.pmod(F.col("partition_id"), F.lit(shard_dirs))
+        ).write.partitionBy("shard", "partition_id").parquet(f"{out}/blocks")
+    else:
+        blocks.write.partitionBy("partition_id").parquet(f"{out}/blocks")
+    manifest.build_manifests(
+        blocks, job_id, warehouse, num_partitions=partitions,
+        shard_dirs=shard_dirs or None,
+    ).write.parquet(f"{out}/manifests")
+    blocks.unpersist()
+
+    verdict = {
+        "status": "ok",
+        "rows": int(after["rows"] or 0),
+        "chunks_before": int(before["chunks"]),
+        "chunks_after": int(after["chunks"] or 0),
+        "enc_bytes_before": int(before["enc"]),
+        "enc_bytes_after": int(after["enc"] or 0),
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    if exclude_conv_ids:
+        verdict["rows_deleted"] = int(before["rows"]) - verdict["rows"]
+    return verdict
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -38,71 +119,25 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    import os
-
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
-    from vcf2df_spark import manifest
-    from vcf2df_spark.datasource import read_warehouse
-    from vcf2df_spark.encode import encode_keyed, with_partition_key
     from vcf2df_spark.session import get_spark
     from vcf2df_spark.shipping import ensure_shipped
-
-    if os.path.exists(args.out):
-        print(json.dumps({"status": "error",
-                          "error": f"--out {args.out} already exists; "
-                                   "compaction writes a fresh warehouse"}))
-        sys.exit(2)
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(master=args.master, app_name=f"compact:{args.job_id}")
     ensure_shipped(spark)
-    t0 = time.time()
-
-    from vcf2df_spark.decode import group_keys
-
-    old_blocks = spark.read.parquet(f"{args.warehouse}/blocks")
-    before = old_blocks.agg(
-        # epoch-aware chunk identity: two epochs may reuse (pid, chunk)
-        F.count_distinct(*group_keys(old_blocks)).alias("chunks"),
-        F.sum("enc_bytes").alias("enc"),
-    ).collect()[0]
-
-    df = read_warehouse(spark, args.warehouse)  # epoch-aware, shuffle-free
-    keyed = with_partition_key(df, args.partitions)
-    from pyspark import StorageLevel
-
-    blocks = encode_keyed(keyed).persist(StorageLevel.MEMORY_AND_DISK)
-    after = blocks.agg(
-        F.sum(F.when(F.col("column") == "conv_id", F.col("n_rows"))).alias("rows"),
-        F.count_distinct("partition_id", "chunk_idx").alias("chunks"),
-        F.sum("enc_bytes").alias("enc"),
-    ).collect()[0]
-
-    if args.shard_dirs:
-        blocks.withColumn(
-            "shard", F.pmod(F.col("partition_id"), F.lit(args.shard_dirs))
-        ).write.partitionBy("shard", "partition_id").parquet(f"{args.out}/blocks")
-    else:
-        blocks.write.partitionBy("partition_id").parquet(f"{args.out}/blocks")
-    manifest.build_manifests(
-        blocks, args.job_id, args.warehouse, num_partitions=args.partitions,
-        shard_dirs=args.shard_dirs or None,
-    ).write.parquet(f"{args.out}/manifests")
-    blocks.unpersist()
-
-    print(json.dumps({
-        "status": "ok",
-        "rows": int(after["rows"]),
-        "chunks_before": int(before["chunks"]),
-        "chunks_after": int(after["chunks"]),
-        "enc_bytes_before": int(before["enc"]),
-        "enc_bytes_after": int(after["enc"]),
-        "wall_sec": round(time.time() - t0, 2),
-    }))
-    if owns_session:
-        spark.stop()
+    try:
+        verdict = run_compact(
+            spark, args.warehouse, args.out, args.partitions,
+            args.shard_dirs, args.job_id,
+        )
+    finally:
+        if owns_session:
+            spark.stop()
+    print(json.dumps(verdict))
+    if verdict["status"] != "ok":
+        sys.exit(2)
 
 
 if __name__ == "__main__":
