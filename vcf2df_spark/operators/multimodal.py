@@ -61,8 +61,74 @@ def _decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError("image decode requires a media library")
 
 
+def parse_wav(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE PCM — numpy only, no media library.
+
+    Walks the RIFF chunk list (chunks are (4-byte tag, uint32le size,
+    payload, pad-to-even) — tolerant of extra chunks like LIST/fact),
+    reads the ``fmt `` header, and decodes the ``data`` chunk into a
+    float64 (n_frames, channels) sample matrix in [-1, 1]. Supports
+    format 1 (integer PCM, 8/16/32-bit) and format 3 (IEEE float 32/64);
+    compressed formats (mp3-in-wav, ADPCM, extensible) raise
+    NotImplementedError like the other media stubs.
+
+    Returns {"sample_rate", "channels", "bits", "n_frames",
+    "duration_sec", "samples"}.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = int(np.frombuffer(payload[pos + 4 : pos + 8], "<u4")[0])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = {
+                "format": int(np.frombuffer(body[0:2], "<u2")[0]),
+                "channels": int(np.frombuffer(body[2:4], "<u2")[0]),
+                "sample_rate": int(np.frombuffer(body[4:8], "<u4")[0]),
+                "bits": int(np.frombuffer(body[14:16], "<u2")[0]),
+            }
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAVE payload missing fmt/data chunk")
+    if fmt["channels"] == 0 or fmt["sample_rate"] == 0:
+        raise NotImplementedError("degenerate WAVE fmt header")
+    dtypes = {
+        (1, 8): ("u1", 127.5, -1.0),   # unsigned, midpoint 127.5
+        (1, 16): ("<i2", 32768.0, 0.0),
+        (1, 32): ("<i4", 2147483648.0, 0.0),
+        (3, 32): ("<f4", 1.0, 0.0),
+        (3, 64): ("<f8", 1.0, 0.0),
+    }
+    key = (fmt["format"], fmt["bits"])
+    if key not in dtypes:
+        raise NotImplementedError(
+            f"WAVE format {fmt['format']}/{fmt['bits']}-bit needs a codec "
+            "library (only integer/float PCM decode here)"
+        )
+    dt, scale, center = dtypes[key]
+    width = fmt["bits"] // 8 * fmt["channels"]
+    n_frames = len(data) // width if width else 0
+    raw = np.frombuffer(data[: n_frames * width], dtype=dt).astype(np.float64)
+    samples = (raw / scale + center).reshape(n_frames, fmt["channels"])
+    return {
+        "sample_rate": fmt["sample_rate"],
+        "channels": fmt["channels"],
+        "bits": fmt["bits"],
+        "n_frames": n_frames,
+        "duration_sec": n_frames / fmt["sample_rate"],
+        "samples": samples,
+    }
+
+
 def _decode_audio(payload: bytes) -> np.ndarray:
-    raise NotImplementedError("audio decode requires a media library")
+    """WAV PCM decodes for real (parse_wav); other containers stub."""
+    return parse_wav(payload)["samples"]
 
 
 _STUB_DECODERS = {"image": _decode_image, "audio": _decode_audio,
@@ -135,8 +201,11 @@ def _feature_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         kind_arr = batch.column(batch.schema.get_field_index("kind"))
         n = len(batch)
         n_bytes, entropy, header = _batch_features(payload)
-        # stub decode exercised once per distinct kind per batch, not per
-        # row; all stubs raise (media libs absent), so decoded stays False
+        # decoder probed once per distinct kind per batch on a
+        # representative payload, not per row (image/video still raise —
+        # media libs absent; audio decodes for real iff the probe row is
+        # RIFF/WAVE PCM — see parse_wav; per-row verdicts live in
+        # audio_features)
         decoded_by_kind = {}
         enc = pa.compute.dictionary_encode(kind_arr)
         kind_values = enc.dictionary.to_pylist()
@@ -172,6 +241,109 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInArrow(
         _feature_batches, FEATURE_SCHEMA
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+_AUDIO_ARROW = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("decoded", pa.bool_()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("channels", pa.int32()),
+        pa.field("bits", pa.int32()),
+        pa.field("n_frames", pa.int64()),
+        pa.field("duration_sec", pa.float64()),
+        pa.field("rms", pa.float64()),
+    ]
+)
+
+
+def _audio_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        payload = batch.column(batch.schema.get_field_index("payload"))
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        cols: dict[str, list] = {k: [] for k in _AUDIO_ARROW.names[1:]}
+        # per-row decode is the real work here (each payload is an opaque
+        # container — the exact shape a production media pipeline has);
+        # the numpy sample math inside parse_wav is vectorized per payload
+        for i in range(len(batch)):
+            try:
+                w = parse_wav(payload[i].as_py() or b"")
+            except NotImplementedError:
+                cols["decoded"].append(False)
+                for k in ("sample_rate", "channels", "bits", "n_frames",
+                          "duration_sec", "rms"):
+                    cols[k].append(None)
+                continue
+            cols["decoded"].append(True)
+            cols["sample_rate"].append(w["sample_rate"])
+            cols["channels"].append(w["channels"])
+            cols["bits"].append(w["bits"])
+            cols["n_frames"].append(w["n_frames"])
+            cols["duration_sec"].append(round(w["duration_sec"], 6))
+            s = w["samples"]
+            cols["rms"].append(
+                round(float(np.sqrt(np.mean(s * s))), 6) if s.size else 0.0
+            )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column(batch.schema.get_field_index("media_id"))]
+            + [pa.array(cols[k], type=_AUDIO_ARROW.field(k).type)
+               for k in _AUDIO_ARROW.names[1:]],
+            schema=_AUDIO_ARROW,
+        )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio rows -> REAL decoded features (sample rate, duration, RMS
+    level) for RIFF/WAVE PCM payloads; rows whose container needs a codec
+    library come back with decoded=false and null features. mapInArrow —
+    no shuffle, payloads never leave the Arrow batch."""
+    return media.select("media_id", "payload").mapInArrow(
+        _audio_batches, AUDIO_SCHEMA
+    )
+
+
+def synthesize_wav(
+    n_frames: int, sample_rate: int = 16000, channels: int = 1,
+    freq_hz: float = 440.0, bits: int = 16,
+) -> bytes:
+    """Deterministic PCM WAV bytes (sine per channel, phase-shifted) —
+    the fixture generator for the real decode path."""
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    waves = np.stack(
+        [np.sin(2 * np.pi * freq_hz * t + c * np.pi / 4)
+         for c in range(channels)], axis=1,
+    )
+    if bits == 16:
+        fmt_code, data = 1, (waves * 32767).astype("<i2").tobytes()
+    elif bits == 32:
+        fmt_code, data = 3, waves.astype("<f4").tobytes()
+    else:
+        raise ValueError("synthesize_wav supports 16 (PCM) or 32 (float)")
+    block = bits // 8 * channels
+    fmt = (
+        np.array([fmt_code, channels], "<u2").tobytes()
+        + np.array([sample_rate, sample_rate * block], "<u4").tobytes()
+        + np.array([block, bits], "<u2").tobytes()
+    )
+    chunks = b"WAVE"
+    for tag, body in ((b"fmt ", fmt), (b"data", data)):
+        chunks += tag + np.array([len(body)], "<u4").tobytes() + body
+        chunks += b"\x00" * (len(body) & 1)
+    return b"RIFF" + np.array([len(chunks)], "<u4").tobytes() + chunks
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
