@@ -346,6 +346,67 @@ def synthesize_wav(
     return b"RIFF" + np.array([len(chunks)], "<u4").tobytes() + chunks
 
 
+def wav_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Append REAL-decoded WAV features derived by synth -> parse_wav.
+
+    For every row, a deterministic PCM WAV is synthesized with parameters
+    derived from ``id_col`` (sample rate 8/16/24 kHz, 1-2 channels,
+    400-1184 frames) and immediately decoded by the real container parser.
+    The emitted columns come from the PARSE, not the synthesis inputs —
+    so a driver/oracle check against the analytic parameter formulas
+    proves the decode path end-to-end. mapInArrow, no shuffle; payloads
+    never leave the worker."""
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField("wav_sample_rate", T.IntegerType(), False),
+            T.StructField("wav_channels", T.IntegerType(), False),
+            T.StructField("wav_n_frames", T.LongType(), False),
+            T.StructField("wav_duration", T.DoubleType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            srs, chs, nfs, durs = [], [], [], []
+            for i in ids:
+                i = int(i)
+                raw = synthesize_wav(
+                    400 + (i % 50) * 16,
+                    sample_rate=8000 * (1 + i % 3),
+                    channels=1 + i % 2,
+                )
+                w = parse_wav(raw)
+                srs.append(w["sample_rate"])
+                chs.append(w["channels"])
+                nfs.append(w["n_frames"])
+                durs.append(w["duration_sec"])
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [
+                    pa.array(srs, type=pa.int32()),
+                    pa.array(chs, type=pa.int32()),
+                    pa.array(nfs, type=pa.int64()),
+                    pa.array(durs, type=pa.float64()),
+                ],
+                schema=pa.schema(
+                    list(pa.schema(batch.schema))
+                    + [
+                        pa.field("wav_sample_rate", pa.int32()),
+                        pa.field("wav_channels", pa.int32()),
+                        pa.field("wav_n_frames", pa.int64()),
+                        pa.field("wav_duration", pa.float64()),
+                    ]
+                ),
+            )
+
+    return df.mapInArrow(batches, out_schema)
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media payloads (magic header + seeded bytes)."""
     rng = np.random.default_rng(seed)

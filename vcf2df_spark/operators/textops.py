@@ -403,18 +403,25 @@ def q_hash_sample(spark, sf_dir):
 # --- multimodal metadata plumbing (binary column, typed meta) ------------------------
 
 def q_multimodal_meta(spark, sf_dir):
-    """Opaque-binary treatment: payload bytes + checksum + typed metadata.
+    """Opaque-binary treatment: payload bytes + checksum + typed metadata,
+    PLUS a real audio decode leg (r5): per document a deterministic PCM
+    WAV is synthesized (params derived from doc_id) and decoded by the
+    from-scratch RIFF/WAVE parser (multimodal.parse_wav) in one
+    mapInArrow pass — the emitted wav_* columns come from the PARSE, so
+    the oracle's analytic recomputation of the same parameters proves the
+    container decode end-to-end. Image/video decode stays stubbed (no
+    media libraries in this environment)."""
+    from vcf2df_spark.operators import multimodal
 
-    The decode/feature-extract stage for real media is a mapInArrow stub
-    (see multimodal.py); the metadata path here is fully real and checked
-    against DuckDB on the bytes themselves.
-    """
     docs = _t(spark, sf_dir, "documents")
     payload = F.encode("text", "utf-8")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.octet_length(payload).alias("payload_bytes"),
         F.substring(F.sha2(payload, 256), 1, 16).alias("sha256_prefix"),
+    )
+    return multimodal.wav_roundtrip(base).withColumn(
+        "wav_duration", F.round("wav_duration", 6)
     )
 
 
@@ -1084,9 +1091,17 @@ ORACLES = {
         FROM documents GROUP BY 1
     """,
     "multimodal_meta": """
+        -- wav_* recomputed ANALYTICALLY from the synthesis parameter
+        -- formulas; the engine emits what parse_wav DECODED from the
+        -- synthesized container, so equality proves the decode
         SELECT doc_id,
                octet_length(encode(text)) AS payload_bytes,
-               substr(sha256(text), 1, 16) AS sha256_prefix
+               substr(sha256(text), 1, 16) AS sha256_prefix,
+               CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS wav_sample_rate,
+               CAST(1 + doc_id % 2 AS INTEGER) AS wav_channels,
+               CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS wav_n_frames,
+               round((400 + (doc_id % 50) * 16)
+                     / (8000.0 * (1 + doc_id % 3)), 6) AS wav_duration
         FROM documents
     """,
 }
