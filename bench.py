@@ -202,6 +202,33 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             sqlp_t.append(time.time() - t0)
         query_sql_point_sec = sorted(sqlp_t)[1]
 
+        # point-write surfaces (r5): routed upsert + delete on a properly
+        # hive-partitioned side warehouse (the bench's main blocks dir is
+        # intentionally written flat to keep encode_sec comparable across
+        # rounds). Single-shot timings — these are partition-bounded ops
+        # whose cost is O(routed dirs), not O(warehouse).
+        from vcf2df_spark.rewrite import routed_rewrite
+
+        wh2 = f"{warehouse}_routed"
+        shutil.rmtree(wh2, ignore_errors=True)
+        blocks.write.option("compression", "zstd").partitionBy(
+            "partition_id"
+        ).parquet(f"{wh2}/blocks")
+        manifest.build_manifests(
+            blocks, "bench", input_path, num_partitions=partitions
+        ).write.parquet(f"{wh2}/manifests")
+        rep = src.filter(F.col("conv_id") == some_conv)
+        t0 = time.time()
+        r_up = routed_rewrite(spark, wh2, [some_conv], "bench-upsert",
+                              "bench", replacement=rep)
+        upsert_sec = time.time() - t0
+        assert r_up["status"] == "ok" and r_up["rows_inserted"] > 0
+        t0 = time.time()
+        r_del = routed_rewrite(spark, wh2, [some_conv], "bench-delete",
+                               "bench")
+        delete_sec = time.time() - t0
+        assert r_del["status"] == "ok" and r_del["rows_deleted"] > 0
+
         med = lambda xs: sorted(xs)[len(xs) // 2]
         stored = spark.read.parquet(f"{warehouse}/blocks")
         agg = stored.agg(F.sum("raw_bytes").alias("raw"),
@@ -227,6 +254,9 @@ def run_pipeline(master: str, input_path: str, warehouse: str,
             "query_sql_sec": round(query_sql_sec, 2),
             "query_sql_narrow_sec": round(query_sql_narrow_sec, 2),
             "query_sql_point_sec": round(query_sql_point_sec, 2),
+            "upsert_routed_sec": round(upsert_sec, 2),
+            "delete_routed_sec": round(delete_sec, 2),
+            "rewrite_partitions_touched": len(r_up["partitions_rewritten"]),
         }
     finally:
         spark.stop()
@@ -367,6 +397,9 @@ def main() -> None:
         "query_sql_sec": r["query_sql_sec"],
         "query_sql_narrow_sec": r["query_sql_narrow_sec"],
         "query_sql_point_sec": r["query_sql_point_sec"],
+        "upsert_routed_sec": r["upsert_routed_sec"],
+        "delete_routed_sec": r["delete_routed_sec"],
+        "rewrite_partitions_touched": r["rewrite_partitions_touched"],
         "baseline_fixture_fingerprint": fixture_fingerprint(input_path, sf),
         "rows": r["rows"],
         "turns_per_sec_encode": r["turns_per_sec_encode"],
