@@ -334,6 +334,31 @@ def test_delete_rejects_remote_warehouse(spark):
     assert "local" in rec["error"]
 
 
+def test_rewrite_lock_excludes_concurrent_rewrites(spark, wh):
+    """Two staged rewrites on one warehouse would race on the staging dir
+    and the manifests swap — the O_EXCL lock makes the second fail loudly
+    with the holder's job id, and a finished rewrite releases it."""
+    import os
+
+    lock = f"{wh}/.rewrite_lock"
+    with open(lock, "w") as f:
+        f.write("other-job")
+    full = read_warehouse(spark, wh)
+    cid = full.select("conv_id").first()[0]
+    code, rec = _run(delete_job.main, [
+        "--warehouse", wh, "--conv-id", cid, "--master", "local[4]",
+    ])
+    assert code == 2 and rec["status"] == "error"
+    assert "other-job" in rec["error"] and ".rewrite_lock" in rec["error"]
+    os.unlink(lock)
+
+    code, rec = _run(delete_job.main, [
+        "--warehouse", wh, "--conv-id", cid, "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+    assert not os.path.exists(lock), "finished rewrite must release the lock"
+
+
 def test_delete_restores_overwrite_mode(spark, wh):
     """partitionOverwriteMode is session-shared state: the job must
     restore whatever was set before it ran."""

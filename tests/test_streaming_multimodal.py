@@ -120,6 +120,52 @@ def test_wav_parse_roundtrip():
         multimodal.parse_wav(bytes(mp3ish))
 
 
+def test_bmp_parse_roundtrip():
+    """parse_bmp recovers exactly what synthesize_bmp wrote — 24-bit
+    gradient and 8-bit palette, including non-multiple-of-4 row widths
+    (row padding) and the bottom-up row flip."""
+    for w, h, bits in [(32, 16, 24), (33, 7, 24), (30, 5, 8)]:
+        raw = multimodal.synthesize_bmp(w, h, bits=bits, seed=3)
+        b = multimodal.parse_bmp(raw)
+        assert (b["width"], b["height"], b["bits"]) == (w, h, bits)
+        ch = bits // 8
+        assert b["pixels"].shape == (h, w, ch)
+        # top-left pixel of the 24-bit gradient: (x+seed, y+2*seed, x+y)
+        if bits == 24:
+            assert tuple(b["pixels"][0, 0]) == (3, 6, 0)
+            assert tuple(b["pixels"][h - 1, w - 1]) == (
+                (w - 1 + 3) % 256, (h - 1 + 6) % 256, (w - 1 + h - 1) % 256
+            )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.parse_bmp(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
+    with _pytest.raises(NotImplementedError):
+        # BI_RLE8 (compression=1) needs a codec path
+        rle = bytearray(multimodal.synthesize_bmp(8, 8, bits=8))
+        rle[30] = 1
+        multimodal.parse_bmp(bytes(rle))
+
+
+def test_image_features_through_map_in_arrow(spark):
+    rows = [
+        (0, "image", multimodal.synthesize_bmp(64, 48, seed=1), "{}"),
+        (1, "image", multimodal.synthesize_bmp(17, 9, bits=8), "{}"),
+        (2, "image", b"\x89PNG\r\n\x1a\n" + b"\x01" * 64, "{}"),  # stubbed
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = (
+        multimodal.image_features(media).toPandas()
+        .set_index("media_id").sort_index()
+    )
+    assert feats.loc[0, "decoded"]
+    assert (feats.loc[0, "width"], feats.loc[0, "height"]) == (64, 48)
+    assert feats.loc[1, "bits"] == 8
+    assert not feats.loc[2, "decoded"] and pd.isna(feats.loc[2, "width"])
+    want = float(multimodal.parse_bmp(rows[0][2])["pixels"].mean())
+    assert abs(feats.loc[0, "mean_luma"] - want) < 1e-6
+
+
 def test_audio_features_through_map_in_arrow(spark):
     """The REAL decode path end-to-end: WAV payloads decode to sample-rate
     /duration/RMS through mapInArrow; undecodable rows null out."""

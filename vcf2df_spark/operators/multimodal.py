@@ -56,9 +56,57 @@ _FEATURE_ARROW = pa.schema(
 )
 
 
+def parse_bmp(payload: bytes) -> dict:
+    """REAL image decode for uncompressed BMP — numpy only, no media
+    library. Reads the BITMAPFILEHEADER + BITMAPINFOHEADER and decodes
+    8-bit (palette/gray) and 24/32-bit BI_RGB pixel data into a uint8
+    (height, width, channels) array (rows un-flipped from the BMP
+    bottom-up layout; 4-byte row padding stripped). Compressed BMPs
+    (RLE/JPEG-in-BMP) and other containers (PNG/JPEG) raise
+    NotImplementedError like the remaining media stubs.
+
+    Returns {"width", "height", "bits", "channels", "pixels"}.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not an uncompressed BMP payload")
+    data_off = int(np.frombuffer(payload[10:14], "<u4")[0])
+    hdr_size = int(np.frombuffer(payload[14:18], "<u4")[0])
+    if hdr_size < 40:
+        raise NotImplementedError("pre-BITMAPINFOHEADER BMP")
+    width = int(np.frombuffer(payload[18:22], "<i4")[0])
+    height = int(np.frombuffer(payload[22:26], "<i4")[0])
+    bits = int(np.frombuffer(payload[28:30], "<u2")[0])
+    compression = int(np.frombuffer(payload[30:34], "<u4")[0])
+    if compression != 0:  # BI_RGB only; RLE/JPEG-in-BMP need codecs
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bits not in (8, 24, 32) or width <= 0 or height == 0:
+        raise NotImplementedError(f"unsupported BMP geometry ({bits}-bit)")
+    flip = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    channels = bits // 8
+    row_bytes = (width * channels + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        raise NotImplementedError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload[data_off : data_off + row_bytes * height], dtype=np.uint8
+    ).reshape(height, row_bytes)[:, : width * channels]
+    pixels = rows.reshape(height, width, channels)
+    if flip:
+        pixels = pixels[::-1]
+    return {
+        "width": width,
+        "height": height,
+        "bits": bits,
+        "channels": channels,
+        "pixels": pixels,
+    }
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Real implementation would be PIL/libjpeg; not present in this env."""
-    raise NotImplementedError("image decode requires a media library")
+    """Uncompressed BMP decodes for real (parse_bmp); PNG/JPEG/video
+    containers need a media library and stay stubbed."""
+    return parse_bmp(payload)["pixels"]
 
 
 def parse_wav(payload: bytes) -> dict:
@@ -314,6 +362,109 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInArrow(
         _audio_batches, AUDIO_SCHEMA
     )
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+_IMAGE_ARROW = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("decoded", pa.bool_()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("bits", pa.int32()),
+        pa.field("mean_luma", pa.float64()),
+    ]
+)
+
+
+def _image_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        payload = batch.column(batch.schema.get_field_index("payload"))
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        cols: dict[str, list] = {k: [] for k in _IMAGE_ARROW.names[1:]}
+        for i in range(len(batch)):
+            try:
+                b = parse_bmp(payload[i].as_py() or b"")
+            except NotImplementedError:
+                cols["decoded"].append(False)
+                for k in ("width", "height", "bits", "mean_luma"):
+                    cols[k].append(None)
+                continue
+            cols["decoded"].append(True)
+            cols["width"].append(b["width"])
+            cols["height"].append(b["height"])
+            cols["bits"].append(b["bits"])
+            cols["mean_luma"].append(round(float(b["pixels"].mean()), 6))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column(batch.schema.get_field_index("media_id"))]
+            + [pa.array(cols[k], type=_IMAGE_ARROW.field(k).type)
+               for k in _IMAGE_ARROW.names[1:]],
+            schema=_IMAGE_ARROW,
+        )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Image rows -> REAL decoded features (dimensions, bit depth, mean
+    luminance) for uncompressed BMP payloads; containers that need a
+    codec library come back decoded=false with null features. mapInArrow
+    — no shuffle."""
+    return media.select("media_id", "payload").mapInArrow(
+        _image_batches, IMAGE_SCHEMA
+    )
+
+
+def synthesize_bmp(width: int, height: int, bits: int = 24,
+                   seed: int = 0) -> bytes:
+    """Deterministic uncompressed BMP bytes (seeded gradient) — the
+    fixture generator for the real image decode path."""
+    if bits == 24:
+        x = np.arange(width, dtype=np.uint32)
+        y = np.arange(height, dtype=np.uint32)[:, None]
+        px = np.empty((height, width, 3), dtype=np.uint8)
+        px[:, :, 0] = (x + seed) % 256
+        px[:, :, 1] = (y + 2 * seed) % 256
+        px[:, :, 2] = (x + y) % 256
+    elif bits == 8:
+        x = np.arange(width, dtype=np.uint32)
+        y = np.arange(height, dtype=np.uint32)[:, None]
+        px = ((x + y + seed) % 256).astype(np.uint8)[..., None]
+    else:
+        raise ValueError("synthesize_bmp supports 8 or 24 bits")
+    ch = bits // 8
+    row_bytes = (width * ch + 3) & ~3
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, : width * ch] = px.reshape(height, width * ch)
+    pix = rows[::-1].tobytes()  # bottom-up row order
+    # 8-bit BMPs carry a 256-entry BGRA palette (grayscale identity here)
+    palette = b""
+    if bits == 8:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack(
+            [g, g, g, np.zeros(256, dtype=np.uint8)], axis=1
+        ).tobytes()
+    data_off = 54 + len(palette)
+    file_hdr = (
+        b"BM" + np.array([data_off + len(pix)], "<u4").tobytes()
+        + b"\x00\x00\x00\x00" + np.array([data_off], "<u4").tobytes()
+    )
+    info_hdr = (
+        np.array([40], "<u4").tobytes()
+        + np.array([width, height], "<i4").tobytes()
+        + np.array([1, bits], "<u2").tobytes()
+        + np.array([0, len(pix), 2835, 2835, 0, 0], "<u4").tobytes()
+    )
+    return file_hdr + info_hdr + palette + pix
 
 
 def synthesize_wav(

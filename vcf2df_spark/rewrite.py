@@ -33,6 +33,8 @@ Commit discipline (same as jobs/encode.py):
 
 Local-filesystem warehouses only (loud failure otherwise — see fsutil):
 the directory swaps use os/shutil, which silently no-op on remote URIs.
+One rewrite at a time per warehouse (O_EXCL ``.rewrite_lock``; concurrent
+rewrites would race on the staging dir and the manifests swap).
 """
 
 from __future__ import annotations
@@ -76,16 +78,58 @@ def routed_rewrite(
     rows (already normalized, same schema as the decoded warehouse) if
     given. Returns a JSON-able summary dict. Raises RewriteError when the
     warehouse cannot be rewritten in place."""
-    from . import fsutil, manifest
-    from .decode import decode_blocks
-    from .encode import encode_keyed, with_partition_key
-    from .scan import _route
+    from . import fsutil
 
     try:
         local = fsutil.require_local(warehouse, "warehouse")
     except ValueError as e:
         raise RewriteError(str(e)) from e
     wh = local.rstrip("/")
+
+    # one rewrite at a time per warehouse: two concurrent staged rewrites
+    # would race on the staging dir and the manifests swap (last writer
+    # silently drops the other's rows). O_EXCL creation is the atomic
+    # driver-side mutex; a crash leaves the lock behind with its job id,
+    # and the loud failure tells the operator what held it.
+    lock = f"{wh}/.rewrite_lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, job_id.encode())
+        os.close(fd)
+    except FileExistsError:
+        try:
+            holder = open(lock).read().strip()
+        except OSError:
+            holder = "?"
+        raise RewriteError(
+            f"another rewrite holds {lock} (job '{holder}'); if that job "
+            "is dead, remove the lock file and retry"
+        ) from None
+    except OSError as e:
+        raise RewriteError(f"cannot lock warehouse for rewrite: {e}") from e
+    try:
+        return _routed_rewrite_locked(
+            spark, wh, conv_ids, job_id, desc, replacement
+        )
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _routed_rewrite_locked(
+    spark: SparkSession,
+    wh: str,
+    conv_ids: list[str],
+    job_id: str,
+    desc: str,
+    replacement: DataFrame | None,
+) -> dict:
+    from . import fsutil, manifest
+    from .decode import decode_blocks
+    from .encode import encode_keyed, with_partition_key
+    from .scan import _route
 
     conv_ids = sorted(set(conv_ids))
     pids: set | None = set()
