@@ -162,6 +162,22 @@ def main() -> None:
         "pruning against zone maps) AND stays in the plan as an exact "
         "Filter — pruning is conservative, exactness is Catalyst's:", p))
 
+    from pyspark.sql import functions as F
+
+    q = spark.read.parquet(f"{wh}/blocks").filter(
+        F.col("partition_id").isin([1, 2])
+    )
+    p = _fmt(q)
+    pf = re.search(r"PartitionFilters: \[[^\]]*partition_id[^\]]*\]", p)
+    assert pf, "routed rewrite's partition_id IN filter must be a " \
+               "PartitionFilter (hive dir pruning), not a data filter"
+    sections.append((
+        "routed rewrite: blocks decode input (hive partition pruning)",
+        "delete/upsert decode ONLY the hash-routed partition dirs — the "
+        "partition_id IN filter prunes at directory-listing time "
+        "(PartitionFilters), so a point write never lists the other "
+        "~400k dirs into tasks:", p))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (generated from live plans)\n\n"
