@@ -334,6 +334,42 @@ def test_delete_rejects_remote_warehouse(spark):
     assert "local" in rec["error"]
 
 
+def test_delete_mega_conversation_skew(spark, tmp_path):
+    """Deleting the skew fixture's mega-conversation (~30% of all turns):
+    the salted re-encode of the survivors still lands them in the routed
+    partitions and the rest of the warehouse is untouched."""
+    src = tmp_path / "sksrc.parquet"
+    fixtures.write_parquet(
+        fixtures.transcripts_skew(n_convs=200, mega_len=4000), str(src)
+    )
+    wh = str(tmp_path / "skwh")
+    code, rec = _run(encode_job.main, [
+        "--input", str(src), "--out", wh, "--partitions", "8",
+        "--job-id", "sk", "--master", "local[4]",
+    ])
+    assert code == 0
+
+    full = read_warehouse(spark, wh)
+    mega = (
+        full.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    )
+    n_total = full.count()
+    assert mega["count"] == 4000
+
+    code, rec = _run(delete_job.main, [
+        "--warehouse", wh, "--conv-id", mega["conv_id"],
+        "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+    assert rec["rows_deleted"] == 4000
+
+    after = read_warehouse(spark, wh)
+    assert after.count() == n_total - 4000
+    assert after.filter(F.col("conv_id") == mega["conv_id"]).count() == 0
+    m = spark.read.parquet(f"{wh}/manifests").toPandas()
+    assert int(m["n_rows"].sum()) == n_total - 4000
+
+
 def test_rewrite_lock_excludes_concurrent_rewrites(spark, wh):
     """Two staged rewrites on one warehouse would race on the staging dir
     and the manifests swap — the O_EXCL lock makes the second fail loudly

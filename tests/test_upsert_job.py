@@ -132,6 +132,43 @@ def test_upsert_inserts_new_conversation(spark, wh, tmp_path):
     assert len(fetch_conversation(spark, wh, cid)) == 4
 
 
+def test_upsert_mixed_batch_replace_and_insert(spark, wh, tmp_path):
+    """One routed pass handles a batch mixing two replacements and one
+    brand-new conversation (union of routes, single staged rewrite)."""
+    full = read_warehouse(spark, wh)
+    cids = [r[0] for r in
+            full.select("conv_id").distinct().orderBy("conv_id").take(2)]
+    n_total = full.count()
+    n_old = full.filter(F.col("conv_id").isin(cids)).count()
+    new_cid = "conv-zz-batch"
+
+    rows = []
+    for cid in cids + [new_cid]:
+        rows += [(cid, i, "user", f"batch {cid} {i}", "", None)
+                 for i in range(2)]
+    batch = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1700000000000000)))
+    rep = str(tmp_path / "batch.parquet")
+    batch.write.parquet(rep)
+
+    code, rec = _run(upsert_job.main, [
+        "--warehouse", wh, "--input", rep, "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+    assert rec["rows_deleted"] == n_old and rec["rows_inserted"] == 6
+
+    after = read_warehouse(spark, wh)
+    assert after.count() == n_total - n_old + 6
+    for cid in cids + [new_cid]:
+        assert len(fetch_conversation(spark, wh, cid)) == 2
+    m = spark.read.parquet(f"{wh}/manifests").toPandas()
+    assert m["partition_id"].is_unique
+    assert int(m["n_rows"].sum()) == n_total - n_old + 6
+
+
 def test_upsert_rejects_remote_warehouse(spark, tmp_path):
     src = str(tmp_path / "r.parquet")
     fixtures.write_parquet(fixtures.transcripts_small(n_convs=2), src)

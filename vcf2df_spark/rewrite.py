@@ -34,7 +34,11 @@ Commit discipline (same as jobs/encode.py):
 Local-filesystem warehouses only (loud failure otherwise — see fsutil):
 the directory swaps use os/shutil, which silently no-op on remote URIs.
 One rewrite at a time per warehouse (O_EXCL ``.rewrite_lock``; concurrent
-rewrites would race on the staging dir and the manifests swap).
+rewrites would race on the staging dir and the manifests swap). The lock
+does NOT coordinate with a concurrent encode-append or streaming epoch
+writer to the same warehouse — a manifest file appended during the swap
+window would be lost with the old directory. Run rewrites in maintenance
+windows (or against quiesced warehouses), like any compaction.
 """
 
 from __future__ import annotations
