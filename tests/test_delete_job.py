@@ -395,6 +395,62 @@ def test_rewrite_lock_excludes_concurrent_rewrites(spark, wh):
     assert not os.path.exists(lock), "finished rewrite must release the lock"
 
 
+def test_rewrite_recovers_from_crashed_manifests_swap(spark, wh):
+    """A rewrite that died between `manifests -> .manifests_old` and the
+    staging move leaves the warehouse with no manifests dir. The next
+    rewrite restores the pre-swap manifests before routing and completes
+    normally."""
+    import os
+    import shutil
+
+    full = read_warehouse(spark, wh)
+    cid = full.select("conv_id").first()[0]
+    n_total = full.count()
+    n_conv = full.filter(F.col("conv_id") == cid).count()
+
+    # simulate the crash window
+    os.rename(f"{wh}/manifests", f"{wh}/.manifests_old")
+    shutil.rmtree(f"{wh}/.rewrite_staging", ignore_errors=True)
+
+    code, rec = _run(delete_job.main, [
+        "--warehouse", wh, "--conv-id", cid, "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+    assert rec["rows_deleted"] == n_conv > 0
+    assert os.path.exists(f"{wh}/manifests")
+    assert not os.path.exists(f"{wh}/.manifests_old")
+    after = read_warehouse(spark, wh)
+    assert after.count() == n_total - n_conv
+    m = spark.read.parquet(f"{wh}/manifests").toPandas()
+    assert int(m["n_rows"].sum()) == n_total - n_conv
+
+
+def test_stats_job_consistent_after_rewrite(spark, wh, capsys):
+    """The no-Spark ANALYZE reads the swapped-in manifests: after a
+    delete its row count and schema summary reflect the rewrite (catches
+    manifest-schema drift through the staged rewrite's projection)."""
+    import jobs.stats as stats_job
+
+    full = read_warehouse(spark, wh)
+    cid = full.select("conv_id").first()[0]
+    n_total = full.count()
+    n_conv = full.filter(F.col("conv_id") == cid).count()
+    code, rec = _run(delete_job.main, [
+        "--warehouse", wh, "--conv-id", cid, "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+
+    stats_job.main(["--warehouse", wh])
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["status"] == "ok"
+    assert s["n_rows"] == n_total - n_conv
+    assert s["partitions"] == 8
+    assert s["schema"]["text"] == "str"
+    assert "delete-" + cid in s["jobs"] or any(
+        j.startswith("delete-") for j in s["jobs"]
+    )
+
+
 def test_delete_restores_overwrite_mode(spark, wh):
     """partitionOverwriteMode is session-shared state: the job must
     restore whatever was set before it ran."""

@@ -112,6 +112,15 @@ def routed_rewrite(
     except OSError as e:
         raise RewriteError(f"cannot lock warehouse for rewrite: {e}") from e
     try:
+        # crash recovery: a rewrite that died between the manifests rename
+        # and the staging move leaves NO manifests dir (every read breaks).
+        # Restore the pre-swap manifests — over the possibly-new blocks
+        # they may carry stale checksums, which decode_verify flags, the
+        # same observable state as a crash between the blocks and
+        # manifests commits.
+        old_m = f"{wh}/.manifests_old"
+        if not os.path.exists(f"{wh}/manifests") and os.path.exists(old_m):
+            os.rename(old_m, f"{wh}/manifests")
         return _routed_rewrite_locked(
             spark, wh, conv_ids, job_id, desc, replacement
         )
