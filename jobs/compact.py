@@ -73,7 +73,9 @@ def run_compact(
 
     df = read_warehouse(spark, warehouse)  # epoch-aware, shuffle-free
     if exclude_conv_ids:
-        df = df.filter(~F.col("conv_id").isin(sorted(set(exclude_conv_ids))))
+        from vcf2df_spark.rewrite import _without_ids
+
+        df = _without_ids(spark, df, sorted(set(exclude_conv_ids)))
     keyed = with_partition_key(df, partitions)
     blocks = encode_keyed(keyed).persist(StorageLevel.MEMORY_AND_DISK)
     after = blocks.agg(

@@ -5,6 +5,12 @@
 
 Batch deletes amortize: every requested conversation's routed partitions
 are rewritten in ONE pass (union of routes, one decode/encode/commit).
+Bulk GDPR batches go through --conv-ids-file (one id per line); routing
+is one manifests read for the whole batch, and above ~1k ids the drop
+filter becomes a broadcast anti-join instead of an isin literal list.
+When a huge batch routes to most partitions, prefer a filtered full
+rewrite: jobs/compact.py run_compact(exclude_conv_ids=...) via
+--via-compact.
 
 The GDPR-shaped operation a training-data warehouse needs: targeted
 deletion without a full rewrite. The manifests' hash-routing metadata
@@ -61,9 +67,12 @@ def _run_compact():
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--warehouse", required=True)
-    p.add_argument("--conv-id", required=True, action="append",
+    p.add_argument("--conv-id", action="append", default=None,
                    help="repeatable: all given conversations are removed "
                         "in one routed rewrite")
+    p.add_argument("--conv-ids-file", default=None,
+                   help="bulk alternative: file with one conv_id per line "
+                        "(blank lines ignored); combined with any --conv-id")
     p.add_argument("--job-id", default=None,
                    help="job id recorded on the rewritten manifest rows "
                         "(default: delete-<conv-id>)")
@@ -88,11 +97,21 @@ def main(argv: list[str] | None = None) -> None:
                           "error": "--via-compact requires --out"}))
         sys.exit(2)
 
+    conv_ids = set(args.conv_id or [])
+    if args.conv_ids_file:
+        with open(args.conv_ids_file) as f:
+            conv_ids.update(line.strip() for line in f if line.strip())
+    conv_ids = sorted(conv_ids)
+    if not conv_ids:
+        print(json.dumps({"status": "error",
+                          "error": "no conversations given: pass --conv-id "
+                                   "and/or --conv-ids-file"}))
+        sys.exit(2)
+
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(master=args.master, app_name="delete")
     ensure_shipped(spark)
     t0 = time.time()
-    conv_ids = sorted(set(args.conv_id))
     job_id = args.job_id or "delete-" + "-".join(conv_ids[:3])
 
     try:

@@ -334,6 +334,68 @@ def test_delete_rejects_remote_warehouse(spark):
     assert "local" in rec["error"]
 
 
+def test_bulk_delete_via_ids_file_and_anti_join(spark, wh, tmp_path,
+                                                monkeypatch):
+    """Bulk GDPR shape: ids from --conv-ids-file, batch routing (ONE
+    manifests read for the whole batch), and — with the isin threshold
+    forced to 0 — the broadcast anti-join drop filter, all through the
+    job surface."""
+    import vcf2df_spark.rewrite as rewrite_mod
+    import vcf2df_spark.scan as scan_mod
+
+    monkeypatch.setattr(rewrite_mod, "_ISIN_MAX_IDS", 0)
+    route_calls: list[int] = []
+    real_route_many = scan_mod._route_many
+
+    def counting_route_many(warehouse, conv_ids):
+        route_calls.append(len(list(conv_ids)))
+        return real_route_many(warehouse, conv_ids)
+
+    monkeypatch.setattr(scan_mod, "_route_many", counting_route_many)
+
+    full = read_warehouse(spark, wh)
+    cids = [r[0] for r in
+            full.select("conv_id").distinct().orderBy("conv_id").take(4)]
+    n_total = full.count()
+    n_del = full.filter(F.col("conv_id").isin(cids)).count()
+
+    ids_file = tmp_path / "erase.txt"
+    ids_file.write_text("\n".join(cids[1:]) + "\n\n")
+    code, rec = _run(delete_job.main, [
+        "--warehouse", wh, "--conv-id", cids[0],
+        "--conv-ids-file", str(ids_file), "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok"
+    assert rec["rows_deleted"] == n_del
+    # the whole batch routed in ONE _route_many call (no per-id loop)
+    assert route_calls == [4]
+
+    after = read_warehouse(spark, wh)
+    assert after.filter(F.col("conv_id").isin(cids)).count() == 0
+    assert after.count() == n_total - n_del
+
+    # no ids at all: loud error before any Spark work
+    code, rec = _run(delete_job.main, ["--warehouse", wh,
+                                       "--master", "local[4]"])
+    assert code == 2 and "no conversations" in rec["error"]
+
+
+def test_route_many_matches_per_id_routes(spark, wh):
+    """Batch routing returns exactly the union of single-id routes."""
+    from vcf2df_spark.scan import _route, _route_many
+
+    full = read_warehouse(spark, wh)
+    cids = [r[0] for r in
+            full.select("conv_id").distinct().orderBy("conv_id").take(5)]
+    want: set = set()
+    shard = None
+    for c in cids:
+        p, shard = _route(wh, c)
+        want.update(p)
+    got, got_shard = _route_many(wh, cids)
+    assert sorted(want) == got and shard == got_shard
+
+
 def test_delete_mega_conversation_skew(spark, tmp_path):
     """Deleting the skew fixture's mega-conversation (~30% of all turns):
     the salted re-encode of the survivors still lands them in the routed

@@ -55,6 +55,24 @@ class RewriteError(RuntimeError):
     streaming epochs, ambiguous partitioner, remote URI)."""
 
 
+# above this many ids, drop-filters use a broadcast LEFT ANTI join instead
+# of an isin literal list: a bulk GDPR batch inlined as 100k+ literals
+# bloats the plan tree and the codegen source (the same reason resume's
+# committed-id filter is an anti-join, not isin)
+_ISIN_MAX_IDS = 1000
+
+
+def _without_ids(spark: SparkSession, df: DataFrame, conv_ids: list) -> DataFrame:
+    """df minus the given conv_ids — literal isin for small batches,
+    broadcast anti-join for bulk ones."""
+    if len(conv_ids) <= _ISIN_MAX_IDS:
+        return df.filter(~F.col("conv_id").isin(conv_ids))
+    ids_df = spark.createDataFrame(
+        [(c,) for c in conv_ids], "conv_id string"
+    )
+    return df.join(F.broadcast(ids_df), "conv_id", "left_anti")
+
+
 def _manifest_projection(df: DataFrame) -> DataFrame:
     """By-name projection onto the current MANIFEST_SCHEMA: pre-r4 rows
     (no schema_sig) rewrite cleanly with a null signature."""
@@ -142,20 +160,19 @@ def _routed_rewrite_locked(
     from . import fsutil, manifest
     from .decode import decode_blocks
     from .encode import encode_keyed, with_partition_key
-    from .scan import _route
+    from .scan import _route_many
 
     conv_ids = sorted(set(conv_ids))
-    pids: set | None = set()
-    shard_dirs = None
-    for cid in conv_ids:
-        p_i, shard_dirs = _route(wh, cid)
-        if p_i is None:
-            raise RewriteError(
-                "warehouse has no manifests routing metadata "
-                "(num_partitions); targeted rewrite needs it — re-encode "
-                "with jobs/encode.py or compact first"
-            )
-        pids.update(p_i)
+    # ONE manifests read routes the whole batch (a per-id loop would pay
+    # K full metadata reads on a bulk GDPR delete)
+    p_list, shard_dirs = _route_many(wh, conv_ids)
+    if p_list is None:
+        raise RewriteError(
+            "warehouse has no manifests routing metadata "
+            "(num_partitions); targeted rewrite needs it — re-encode "
+            "with jobs/encode.py or compact first"
+        )
+    pids: set = set(p_list)
 
     manifests_all = spark.read.parquet(f"{wh}/manifests")
     if "epoch" in manifests_all.columns:
@@ -185,7 +202,7 @@ def _routed_rewrite_locked(
     )
     try:
         n_before = dec.count()
-        kept = dec.filter(~F.col("conv_id").isin(conv_ids))
+        kept = _without_ids(spark, dec, conv_ids)
         n_after = kept.count()
         n_inserted = 0
         if replacement is not None:

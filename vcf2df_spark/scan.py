@@ -133,6 +133,15 @@ def _manifest_conv_partitions(warehouse: str, conv_id: str) -> list[int] | None:
 
 def _route(warehouse: str, conv_id: str):
     """(partition ids or None, shard_dirs or None) from the manifests."""
+    return _route_many(warehouse, [conv_id])
+
+
+def _route_many(warehouse: str, conv_ids):
+    """Batch routing: (sorted partition ids or None, shard_dirs or None)
+    for ALL of ``conv_ids`` from ONE manifests read. A per-id `_route`
+    loop re-reads the manifests table per key — at ~400k manifest rows a
+    bulk GDPR delete of K conversations would pay K full metadata reads;
+    this pays one read plus K hash computations."""
     import pyarrow.dataset as pads
 
     from .encode import TURNS_PER_SPLIT
@@ -165,16 +174,20 @@ def _route(warehouse: str, conv_id: str):
     if None not in mods and mods and None not in turn_maxes:
         n_splits = max(turn_maxes) // TURNS_PER_SPLIT + 1
         return sorted(
-            {pkey_for(conv_id, s, n) for n in mods for s in range(n_splits)}
+            {
+                pkey_for(cid, s, n)
+                for cid in conv_ids for n in mods for s in range(n_splits)
+            }
         ), shard_dirs
 
-    # range fallback: keep rows whose conv range covers the key (or whose
+    # range fallback: keep rows whose conv range covers ANY key (or whose
     # range is unknown)
     return sorted(
         {
             r["partition_id"]
             for r in t
-            if r["conv_min"] is None or r["conv_min"] <= conv_id <= r["conv_max"]
+            if r["conv_min"] is None
+            or any(r["conv_min"] <= cid <= r["conv_max"] for cid in conv_ids)
         }
     ), shard_dirs
 
