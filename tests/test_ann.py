@@ -273,3 +273,30 @@ def test_index_job_append_and_forget_cli(spark, tmp_path, capsys):
     assert recs[-2]["n_appended"] == 6 and recs[-2]["n_vectors"] == 30
     assert recs[-1]["n_forgotten"] == 1
     assert all(n["vec_id"] != 7 for n in recs[-1]["probe"]["neighbors"])
+
+
+def test_index_mutation_lock(spark, tmp_path):
+    """forget/append exclude each other via .index_lock: an append racing
+    forget's dynamic overwrite would lose appended rows in rewritten
+    cells. The lock is released after a successful mutation."""
+    import os
+
+    import pytest as _pytest
+
+    from vcf2df_spark.fsutil import LockHeldError
+
+    emb, _ = _emb_df(spark, n=20)
+    root = str(tmp_path / "lockidx")
+    ann.build_index(spark, emb, root, k_cells=4)
+
+    lock = f"{root}/.index_lock"
+    with open(lock, "w") as f:
+        f.write("stuck-job")
+    with _pytest.raises(LockHeldError, match="stuck-job"):
+        ann.forget(spark, root, [1])
+    with _pytest.raises(LockHeldError, match="stuck-job"):
+        ann.append_index(spark, emb.limit(1), root)
+    os.unlink(lock)
+
+    assert ann.forget(spark, root, [1])["n_forgotten"] == 1
+    assert not os.path.exists(lock)

@@ -259,6 +259,23 @@ def _count_rows(path: str, **filter_kwargs) -> int:
     )
 
 
+def _index_lock(index: str, owner: str):
+    """Exclusive index-mutation lock (append racing forget's dynamic
+    overwrite would lose the appended rows in rewritten cells). Taken
+    when the index is a local path; a remote index only supports the
+    Spark-side append, which has nothing to race."""
+    import contextlib
+
+    from . import fsutil
+
+    try:
+        local = fsutil.require_local(index, "index")
+    except ValueError:
+        return contextlib.nullcontext()
+    return fsutil.exclusive_lock(f"{local}/.index_lock", owner,
+                                 "index mutation")
+
+
 def append_index(
     spark: SparkSession,
     emb_new: DataFrame,
@@ -277,22 +294,26 @@ def append_index(
     is one map-only assignment + a partitioned append (no shuffle beyond
     the partitionBy write), O(batch) not O(corpus).
     """
-    cents_rows = (
-        spark.read.parquet(f"{index}/centroids.parquet").orderBy("cell").collect()
-    )
-    cents = [list(r["centroid"]) for r in cents_rows]
-    cnorms = [r["cnorm"] for r in cents_rows]
-    before = _count_rows(f"{index}/assignments")
-    e = (
-        emb_new.withColumn("_v", F.col(vec_col).cast("array<double>"))
-        .withColumn("_vnorm", _norm(F.col("_v")))
-    )
-    assign = assignment_expr(spark, cents, cnorms, vectorized)
-    e.withColumn("cell", assign(F.col("_v"), F.col("_vnorm"))).drop(
-        "_v", "_vnorm"
-    ).write.mode("append").partitionBy("cell").parquet(f"{index}/assignments")
-    after = _count_rows(f"{index}/assignments")
-    return {"n_appended": after - before, "n_vectors": after}
+    with _index_lock(index, "append"):
+        cents_rows = (
+            spark.read.parquet(f"{index}/centroids.parquet")
+            .orderBy("cell").collect()
+        )
+        cents = [list(r["centroid"]) for r in cents_rows]
+        cnorms = [r["cnorm"] for r in cents_rows]
+        before = _count_rows(f"{index}/assignments")
+        e = (
+            emb_new.withColumn("_v", F.col(vec_col).cast("array<double>"))
+            .withColumn("_vnorm", _norm(F.col("_v")))
+        )
+        assign = assignment_expr(spark, cents, cnorms, vectorized)
+        e.withColumn("cell", assign(F.col("_v"), F.col("_vnorm"))).drop(
+            "_v", "_vnorm"
+        ).write.mode("append").partitionBy("cell").parquet(
+            f"{index}/assignments"
+        )
+        after = _count_rows(f"{index}/assignments")
+        return {"n_appended": after - before, "n_vectors": after}
 
 
 def forget(
@@ -316,6 +337,14 @@ def forget(
     from . import fsutil
 
     local = fsutil.require_local(index, "index")
+    with fsutil.exclusive_lock(f"{local}/.index_lock", "forget",
+                               "index mutation"):
+        return _forget_locked(spark, index, local, ids, id_col)
+
+
+def _forget_locked(spark, index, local, ids, id_col):
+    from . import fsutil
+
     ids = sorted(set(ids))
     asg = spark.read.parquet(f"{index}/assignments")
     hit_cells = sorted(

@@ -11,9 +11,42 @@ paths speak pyarrow.fs end-to-end, they fail LOUDLY on non-local paths.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 from urllib.parse import urlparse
+
+
+class LockHeldError(RuntimeError):
+    """Another mutation holds the exclusive lock (or it cannot be taken)."""
+
+
+@contextlib.contextmanager
+def exclusive_lock(path: str, owner: str, what: str = "mutation"):
+    """O_EXCL lock file: the atomic driver-side mutex for in-place
+    mutations (warehouse rewrite, index forget/append). A crash leaves
+    the lock behind with its owner id; the loud failure tells the
+    operator what held it."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, owner.encode())
+        os.close(fd)
+    except FileExistsError:
+        try:
+            holder = open(path).read().strip()
+        except OSError:
+            holder = "?"
+        raise LockHeldError(
+            f"another {what} holds {path} (job '{holder}'); if that job "
+            "is dead, remove the lock file and retry"
+        ) from None
+    except OSError as e:
+        raise LockHeldError(f"cannot create lock {path}: {e}") from e
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(path)
 
 
 def require_local(path: str, what: str = "path") -> str:

@@ -110,43 +110,23 @@ def routed_rewrite(
 
     # one rewrite at a time per warehouse: two concurrent staged rewrites
     # would race on the staging dir and the manifests swap (last writer
-    # silently drops the other's rows). O_EXCL creation is the atomic
-    # driver-side mutex; a crash leaves the lock behind with its job id,
-    # and the loud failure tells the operator what held it.
-    lock = f"{wh}/.rewrite_lock"
+    # silently drops the other's rows)
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, job_id.encode())
-        os.close(fd)
-    except FileExistsError:
-        try:
-            holder = open(lock).read().strip()
-        except OSError:
-            holder = "?"
-        raise RewriteError(
-            f"another rewrite holds {lock} (job '{holder}'); if that job "
-            "is dead, remove the lock file and retry"
-        ) from None
-    except OSError as e:
-        raise RewriteError(f"cannot lock warehouse for rewrite: {e}") from e
-    try:
-        # crash recovery: a rewrite that died between the manifests rename
-        # and the staging move leaves NO manifests dir (every read breaks).
-        # Restore the pre-swap manifests — over the possibly-new blocks
-        # they may carry stale checksums, which decode_verify flags, the
-        # same observable state as a crash between the blocks and
-        # manifests commits.
-        old_m = f"{wh}/.manifests_old"
-        if not os.path.exists(f"{wh}/manifests") and os.path.exists(old_m):
-            os.rename(old_m, f"{wh}/manifests")
-        return _routed_rewrite_locked(
-            spark, wh, conv_ids, job_id, desc, replacement
-        )
-    finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        with fsutil.exclusive_lock(f"{wh}/.rewrite_lock", job_id, "rewrite"):
+            # crash recovery: a rewrite that died between the manifests
+            # rename and the staging move leaves NO manifests dir (every
+            # read breaks). Restore the pre-swap manifests — over the
+            # possibly-new blocks they may carry stale checksums, which
+            # decode_verify flags, the same observable state as a crash
+            # between the blocks and manifests commits.
+            old_m = f"{wh}/.manifests_old"
+            if not os.path.exists(f"{wh}/manifests") and os.path.exists(old_m):
+                os.rename(old_m, f"{wh}/manifests")
+            return _routed_rewrite_locked(
+                spark, wh, conv_ids, job_id, desc, replacement
+            )
+    except fsutil.LockHeldError as e:
+        raise RewriteError(str(e)) from None
 
 
 def _routed_rewrite_locked(
