@@ -23,7 +23,7 @@ import time
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
-    p.add_argument("--format", default="parquet", choices=["parquet", "jsonl", "csv"],
+    p.add_argument("--format", default="parquet", choices=["parquet", "orc", "jsonl", "csv", "tsv"],
                    help="input format (jsonl = gzip-friendly line JSON, the "
                         "reference's gzip-text analogue)")
     p.add_argument("--out", required=True, help="warehouse dir: gets /blocks and /manifests")

@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> None:
                    help="parquet/jsonl.gz/csv with the replacement rows; "
                         "every conv_id present here is replaced in full")
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "jsonl", "csv"])
+                   choices=["parquet", "orc", "json", "jsonl", "csv", "tsv"])
     p.add_argument("--job-id", default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)

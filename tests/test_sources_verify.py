@@ -150,3 +150,45 @@ def test_multiset_is_bit_exact_for_doubles(spark):
     assert not verify.multiset_equal(a, spark.createDataFrame(rows_b, schema))["equal"]
     assert not verify.multiset_equal(a, spark.createDataFrame(rows_c, schema))["equal"]
     assert verify.multiset_equal(a, spark.createDataFrame(rows_a, schema))["equal"]
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC in (the other schema-carrying columnar landing format) ->
+    bit-identical vs the parquet load of the same rows, extras included."""
+    src = fixtures.transcripts_extended(n_convs=60).drop(columns=["tags"])
+    ppath = str(tmp_path / "o.parquet")
+    opath = str(tmp_path / "o.orc")
+    fixtures.write_parquet(src, ppath)
+    from_parq = sources.read_transcripts(spark, ppath, "parquet")
+    from_parq.write.orc(opath)  # typed columns carried natively
+
+    from_orc = sources.read_transcripts(spark, opath, "orc")
+    assert set(from_orc.columns) == set(from_parq.columns)
+    res = verify.multiset_equal(from_orc, from_parq)
+    assert res["equal"], res
+
+    blocks = encode_transcripts(from_orc, num_partitions=4)
+    decoded = decode_blocks(blocks)
+    res = verify.multiset_equal(decoded, from_parq)
+    assert res["equal"], res
+
+
+def test_tsv_source_roundtrip(spark, tmp_path):
+    """Tab-separated export with RFC-4180 quoting -> same rows as the
+    parquet load (text columns in the fixture contain no tabs/newlines,
+    quoting covers commas and quotes)."""
+    import csv as _csv
+
+    src = fixtures.transcripts_small(n_convs=60)
+    ppath = str(tmp_path / "t2.parquet")
+    tpath = str(tmp_path / "t2.tsv")
+    fixtures.write_parquet(src, ppath)
+    out = src.copy()
+    out["ts"] = out["ts"].map(lambda v: pd.Timestamp(v).isoformat())
+    out.to_csv(tpath, sep="\t", index=False,
+               quoting=_csv.QUOTE_MINIMAL, quotechar='"')
+
+    from_tsv = sources.read_transcripts(spark, tpath, "tsv")
+    from_parq = sources.read_transcripts(spark, ppath, "parquet")
+    res = verify.multiset_equal(from_tsv, from_parq)
+    assert res["equal"], res

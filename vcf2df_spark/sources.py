@@ -1,4 +1,4 @@
-"""Transcript source readers: parquet, JSONL(.gz), CSV — dynamic schema.
+"""Transcript source readers: parquet, ORC, JSONL(.gz), CSV/TSV — dynamic schema.
 
 The reference's source is a gzipped VCF text stream whose *output schema is
 computed per input file* from header metadata (``converter/convert.go:42``,
@@ -61,6 +61,10 @@ def read_transcripts(
     """
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        # the other schema-carrying columnar landing format Spark ships
+        # with; same typed path as parquet (no inference pass needed)
+        df = spark.read.orc(path)
     elif fmt in ("json", "jsonl"):
         if schema is not None:
             df = spark.read.schema(schema).json(path)
@@ -68,11 +72,13 @@ def read_transcripts(
             df = spark.read.json(path)
         _require_core(df, path)
         df = _parse_ts(df)
-    elif fmt == "csv":
+    elif fmt in ("csv", "tsv"):
         # escape='"' = RFC-4180 doubled quotes (pandas/excel exports);
         # Spark's default backslash escape mis-parses them, which silently
         # degrades every later column's inferred type to string
         reader = spark.read.option("header", "true").option("escape", '"')
+        if fmt == "tsv":
+            reader = reader.option("sep", "\t")
         if schema is not None:
             df = reader.schema(schema).csv(path)
         else:
