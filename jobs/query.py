@@ -7,6 +7,12 @@ The switch-over surface for users of the reference: the encoded blocks
 table is exposed as a SQL view named ``t`` (decode happens lazily inside
 the plan; column pruning and zone-map pruning apply when the scan helpers
 are used). Prints one JSON line per result row, then a summary line.
+
+``--out PATH [--out-format parquet|orc|csv|json]`` writes the FULL result
+distributed (executors write, the driver never collects) instead of
+printing rows — the extract-a-decoded-slice path: at warehouse scale a
+SELECT of one source's conversations exports through the same pruned
+plan, bounded by the result size, not the warehouse.
 """
 
 from __future__ import annotations
@@ -24,6 +30,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
     p.add_argument("--limit", type=int, default=100,
                    help="max rows printed (the full result still computes)")
+    p.add_argument("--out", default=None,
+                   help="write the full result here (distributed write; "
+                        "no rows printed, no driver collect)")
+    p.add_argument("--out-format", default="parquet",
+                   choices=["parquet", "orc", "csv", "json"])
     p.add_argument("--columns", default=None,
                    help="comma-separated projection override: only these "
                         "columns' blocks are read and decoded. Default: "
@@ -78,6 +89,25 @@ def main(argv: list[str] | None = None) -> None:
         backing = read_warehouse(spark, args.warehouse, columns=cols)
     backing.createOrReplaceTempView(args.view_name)
     out = spark.sql(args.sql)
+    if args.out:
+        # rows counted IN the write pass via observe() — never a second
+        # decode, never a driver collect of the result
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation("export")
+        observed = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = observed.write.mode("error")
+        if args.out_format == "csv":
+            writer = writer.option("header", "true").option("escape", '"')
+        getattr(writer, args.out_format)(args.out)
+        print(json.dumps({"status": "ok", "out": args.out,
+                          "format": args.out_format,
+                          "rows": int(obs.get["rows"]),
+                          "wall_sec": round(time.time() - t0, 2)}))
+        if owns_session:
+            spark.stop()
+        return
     # LIMIT n+1 detects truncation in the SAME pass: a truncated result is
     # reported as ">=n" instead of paying a second full decode for the
     # exact total (on a 100-TB warehouse that second pass doubles exactly

@@ -285,3 +285,46 @@ def test_query_job_truncated_result_single_pass(spark, wh, capsys, monkeypatch):
     assert len(rows) == 7
     assert summary["truncated"] is True and summary["rows"] == ">=7"
     assert summary["shown"] == 7
+
+
+def test_query_job_export_writes_distributed(spark, wh, tmp_path, capsys):
+    """--out exports the FULL result via a distributed write: row count
+    comes from observe() in the same pass (no second decode, no driver
+    collect), and the exported parquet re-reads identical to the view."""
+    import json
+
+    import jobs.query as query_job
+
+    out = str(tmp_path / "slice.parquet")
+    query_job.main([
+        "--warehouse", wh, "--out", out,
+        "--sql", "SELECT conv_id, turn_idx, role FROM t WHERE turn_idx < 3",
+    ])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["status"] == "ok" and rec["out"] == out
+
+    want = (
+        datasource.read_warehouse(spark, wh)
+        .filter(F.col("turn_idx") < 3)
+        .select("conv_id", "turn_idx", "role")
+    )
+    n_want = want.count()
+    assert rec["rows"] == n_want
+    got = spark.read.parquet(out)
+    assert got.count() == n_want
+    assert (
+        got.orderBy("conv_id", "turn_idx").collect()
+        == want.orderBy("conv_id", "turn_idx").collect()
+    )
+
+    # csv export flows through the RFC-4180 writer options
+    out_csv = str(tmp_path / "slice_csv")
+    query_job.main([
+        "--warehouse", wh, "--out", out_csv, "--out-format", "csv",
+        "--sql", "SELECT role, count(*) AS n FROM t GROUP BY role",
+    ])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == 4
+    back = (spark.read.option("header", "true").option("escape", '"')
+            .csv(out_csv))
+    assert back.count() == 4
