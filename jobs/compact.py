@@ -23,6 +23,9 @@ manifest-commit-last convention of the encode job).
 conversations during the re-encode, folding a GDPR erasure into the
 compaction a streaming warehouse periodically needs anyway — the delete
 rides a rewrite that was already scheduled, instead of paying its own.
+``--drop-where`` is the retention sweep on the same ride: age out rows by
+SQL predicate (``ts < timestamp'...'``) during the rewrite the warehouse
+was going to pay regardless.
 """
 
 from __future__ import annotations
@@ -41,10 +44,13 @@ def run_compact(
     shard_dirs: int = 0,
     job_id: str = "compact",
     exclude_conv_ids: list[str] | None = None,
+    drop_where: str | None = None,
 ) -> dict:
     """Re-encode ``warehouse`` (any layout, incl. streaming epochs) into a
     fresh batch-shaped warehouse at ``out``; optionally drop
-    ``exclude_conv_ids`` on the way. Returns the verdict dict."""
+    ``exclude_conv_ids`` and/or rows matching the ``drop_where`` SQL
+    predicate (the retention-sweep shape: ``ts < timestamp'...'``) on the
+    way. Returns the verdict dict."""
     import os
 
     from pyspark import StorageLevel
@@ -76,6 +82,10 @@ def run_compact(
         from vcf2df_spark.rewrite import _without_ids
 
         df = _without_ids(spark, df, sorted(set(exclude_conv_ids)))
+    if drop_where:
+        # null-safe: a predicate that evaluates NULL for a row must KEEP
+        # it (filter(~NULL) would silently drop it)
+        df = df.filter(~F.coalesce(F.expr(drop_where), F.lit(False)))
     keyed = with_partition_key(df, partitions)
     blocks = encode_keyed(keyed).persist(StorageLevel.MEMORY_AND_DISK)
     after = blocks.agg(
@@ -105,7 +115,7 @@ def run_compact(
         "enc_bytes_after": int(after["enc"] or 0),
         "wall_sec": round(time.time() - t0, 2),
     }
-    if exclude_conv_ids:
+    if exclude_conv_ids or drop_where:
         verdict["rows_deleted"] = int(before["rows"]) - verdict["rows"]
     return verdict
 
@@ -118,6 +128,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--shard-dirs", type=int, default=0,
                    help="two-level output layout (see jobs/encode.py)")
     p.add_argument("--job-id", default="compact")
+    p.add_argument("--drop-where", default=None,
+                   help="retention sweep: SQL predicate over the decoded "
+                        "columns; matching rows are dropped during the "
+                        "re-encode (e.g. \"ts < timestamp'2023-01-01'\"). "
+                        "NULL-evaluating rows are kept.")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -132,7 +147,7 @@ def main(argv: list[str] | None = None) -> None:
     try:
         verdict = run_compact(
             spark, args.warehouse, args.out, args.partitions,
-            args.shard_dirs, args.job_id,
+            args.shard_dirs, args.job_id, drop_where=args.drop_where,
         )
     finally:
         if owns_session:

@@ -67,3 +67,36 @@ def test_compact_epoch_warehouse(spark, tmp_path, capsys):
     except SystemExit as e:
         raised = e.code == 2
     assert raised
+
+
+def test_compact_retention_sweep(spark, tmp_path, capsys):
+    """--drop-where ages out rows by SQL predicate during the compaction
+    rewrite; survivors are bit-identical and the deleted count is
+    reported from block metadata (no extra decode pass)."""
+    wh, total = _stream_wh(spark, tmp_path)
+    cutoff = (
+        datasource.read_warehouse(spark, wh)
+        .selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0]["c"]
+    )
+    pred = f"ts < timestamp'{cutoff}'"
+    want = (
+        datasource.read_warehouse(spark, wh)
+        .filter(f"NOT ({pred})")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert 0 < len(want) < total
+
+    out = str(tmp_path / "rwh")
+    compact.main(["--warehouse", wh, "--out", out, "--partitions", "4",
+                  "--drop-where", pred])
+    verdict = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert verdict["status"] == "ok"
+    assert verdict["rows"] == len(want)
+    assert verdict["rows_deleted"] == total - len(want)
+
+    got = (
+        datasource.read_warehouse(spark, out)
+        .orderBy("conv_id", "turn_idx").collect()
+    )
+    assert got == want
