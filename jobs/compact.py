@@ -45,6 +45,7 @@ def run_compact(
     job_id: str = "compact",
     exclude_conv_ids: list[str] | None = None,
     drop_where: str | None = None,
+    merge_schemas: bool = False,
 ) -> dict:
     """Re-encode ``warehouse`` (any layout, incl. streaming epochs) into a
     fresh batch-shaped warehouse at ``out``; optionally drop
@@ -77,7 +78,18 @@ def run_compact(
         .alias("rows"),
     ).collect()[0]
 
-    df = read_warehouse(spark, warehouse)  # epoch-aware, shuffle-free
+    if merge_schemas:
+        # additive schema evolution: epochs/batches with DIFFERENT extra
+        # columns decode against their union schema, typed zero-defaults
+        # filling the pre-evolution chunks (decode.ctypes_from_blocks).
+        # Uses the grouped decode (one shuffle) instead of the shuffle-free
+        # datasource scan — the price of unifying, paid once here so every
+        # later read of the output is homogeneous and shuffle-free again.
+        from vcf2df_spark.decode import decode_blocks
+
+        df = decode_blocks(old_blocks, merge_schemas=True)
+    else:
+        df = read_warehouse(spark, warehouse)  # epoch-aware, shuffle-free
     if exclude_conv_ids:
         from vcf2df_spark.rewrite import _without_ids
 
@@ -133,6 +145,11 @@ def main(argv: list[str] | None = None) -> None:
                         "columns; matching rows are dropped during the "
                         "re-encode (e.g. \"ts < timestamp'2023-01-01'\"). "
                         "NULL-evaluating rows are kept.")
+    p.add_argument("--merge-schemas", action="store_true",
+                   help="additive schema evolution: unify batches/epochs "
+                        "whose extra columns differ (union schema, typed "
+                        "zero-defaults for pre-evolution rows); type "
+                        "CHANGES still fail loudly")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -148,6 +165,7 @@ def main(argv: list[str] | None = None) -> None:
         verdict = run_compact(
             spark, args.warehouse, args.out, args.partitions,
             args.shard_dirs, args.job_id, drop_where=args.drop_where,
+            merge_schemas=args.merge_schemas,
         )
     finally:
         if owns_session:

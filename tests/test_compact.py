@@ -100,3 +100,90 @@ def test_compact_retention_sweep(spark, tmp_path, capsys):
         .orderBy("conv_id", "turn_idx").collect()
     )
     assert got == want
+
+
+def _evolved_wh(spark, tmp_path) -> tuple[str, int, int]:
+    """Epoch 0: core six columns. Epoch 1: adds (score f64, model str) —
+    the streaming schema-change case the strict decode refuses."""
+    root = str(tmp_path / "evwh")
+    pdf0 = fixtures.transcripts_small(n_convs=30, seed=5)
+    pdf0["conv_id"] = "a-" + pdf0["conv_id"]
+    src0 = normalize_input(spark.createDataFrame(pdf0))
+    encode_transcripts(src0, num_partitions=2, chunk_rows=64).write.parquet(
+        f"{root}/blocks/epoch=0"
+    )
+    pdf1 = fixtures.transcripts_small(n_convs=20, seed=6)
+    pdf1["conv_id"] = "b-" + pdf1["conv_id"]
+    pdf1["score"] = [float(i % 7) / 2 for i in range(len(pdf1))]
+    pdf1["model"] = ["m-" + str(i % 3) for i in range(len(pdf1))]
+    src1 = normalize_input(spark.createDataFrame(pdf1))
+    encode_transcripts(src1, num_partitions=2, chunk_rows=64).write.parquet(
+        f"{root}/blocks/epoch=1"
+    )
+    return root, len(pdf0), len(pdf1)
+
+
+def test_merge_schemas_decode_and_compact(spark, tmp_path, capsys):
+    """Additive schema evolution: strict reads fail loudly with the
+    remedy in the message; decode_blocks(merge_schemas=True) unions the
+    schema with typed zero-defaults; compact --merge-schemas re-encodes
+    to ONE homogeneous schema that every strict read then serves."""
+    import pytest as _pytest
+
+    from vcf2df_spark.decode import decode_blocks
+
+    root, n0, n1 = _evolved_wh(spark, tmp_path)
+    blocks = spark.read.parquet(f"{root}/blocks")
+
+    with _pytest.raises(Exception, match="merge-schemas"):
+        decode_blocks(blocks).count()
+
+    merged = decode_blocks(blocks, merge_schemas=True)
+    assert {"score", "model"} <= set(merged.columns)
+    pdf = merged.toPandas()
+    assert len(pdf) == n0 + n1
+    old = pdf[pdf.conv_id.str.startswith("a-")]
+    new = pdf[pdf.conv_id.str.startswith("b-")]
+    # pre-evolution rows carry the SAME typed defaults normalize_input
+    # imputes (so they read as if encoded after the evolution)
+    assert (old["score"] == 0.0).all() and (old["model"] == "").all()
+    assert (new["model"] != "").all()
+
+    out = str(tmp_path / "evout")
+    compact.main(["--warehouse", root, "--out", out, "--partitions", "4",
+                  "--merge-schemas"])
+    verdict = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert verdict["status"] == "ok" and verdict["rows"] == n0 + n1
+
+    # the compacted warehouse is homogeneous: STRICT reads serve it
+    uni = datasource.read_warehouse(spark, out)
+    assert {"score", "model"} <= set(uni.columns)
+    assert uni.count() == n0 + n1
+    want = merged.orderBy("conv_id", "turn_idx").collect()
+    got = uni.orderBy("conv_id", "turn_idx").collect()
+    assert got == want
+
+
+def test_merge_schemas_rejects_type_change(spark, tmp_path):
+    """A column whose ctype CHANGES across batches is never merged."""
+    import pytest as _pytest
+
+    from vcf2df_spark.decode import decode_blocks
+
+    root = str(tmp_path / "tcwh")
+    pdf0 = fixtures.transcripts_small(n_convs=10, seed=7)
+    pdf0["flag"] = [float(i) for i in range(len(pdf0))]  # f64
+    src0 = normalize_input(spark.createDataFrame(pdf0))
+    encode_transcripts(src0, num_partitions=1, chunk_rows=64).write.parquet(
+        f"{root}/blocks/epoch=0"
+    )
+    pdf1 = fixtures.transcripts_small(n_convs=10, seed=8)
+    pdf1["conv_id"] = "z-" + pdf1["conv_id"]
+    pdf1["flag"] = [i % 2 == 0 for i in range(len(pdf1))]  # bool
+    src1 = normalize_input(spark.createDataFrame(pdf1))
+    encode_transcripts(src1, num_partitions=1, chunk_rows=64).write.parquet(
+        f"{root}/blocks/epoch=1"
+    )
+    blocks = spark.read.parquet(f"{root}/blocks")
+    with _pytest.raises(Exception, match="two ctypes"):
+        decode_blocks(blocks, merge_schemas=True).count()

@@ -107,6 +107,42 @@ def _decode_group(table: pa.Table) -> pa.Table:
     return decode_chunk_arrow(table.to_pylist())
 
 
+def _default_array(ctype: str, n: int) -> pa.Array:
+    """Typed zero-default column for merged-schema decode — the SAME
+    defaults ``normalize_input`` imputes on encode (str "", int 0,
+    f64 0.0, bool false, ts epoch-0), so an evolved column reads back
+    exactly as if the old rows had been encoded after the evolution."""
+    if ctype == "str":
+        return pa.nulls(n, pa.string()).fill_null("")
+    if ctype == "ts":
+        return pa.array(np.zeros(n, dtype=np.int64)).cast(
+            pa.timestamp("us", tz="UTC")
+        )
+    np_dtype = {"i32": np.int32, "i64": np.int64, "f64": np.float64,
+                "bool": np.bool_}[ctype]
+    return pa.array(np.zeros(n, dtype=np_dtype),
+                    type=_CTYPE_TO_ARROW[ctype])
+
+
+def _decode_group_filling(ctypes: dict):
+    """Closure for merged-schema decode: chunks missing a merged column
+    emit its typed default array (cloudpickle ships the closure; the
+    module import itself still needs shipping.ensure_shipped)."""
+    order = _column_order(ctypes)
+
+    def fn(table: pa.Table) -> pa.Table:
+        t = decode_chunk_arrow(table.to_pylist())
+        n = len(t)
+        arrays = [
+            t[c].combine_chunks() if c in t.column_names
+            else _default_array(ctypes[c], n)
+            for c in order
+        ]
+        return pa.Table.from_arrays(arrays, names=order)
+
+    return fn
+
+
 def schema_from_ctypes(ctypes: dict[str, str]):
     """(column -> ctype) map -> the decode output Spark schema (canonical
     column order, non-nullable). The map typically comes from the
@@ -124,7 +160,17 @@ def schema_from_ctypes(ctypes: dict[str, str]):
 
 
 def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
-    """Output Spark schema from the blocks' own metadata (footer analogue).
+    """Output Spark schema from the blocks' own metadata (footer analogue);
+    see ``ctypes_from_blocks`` for the derivation and its guarantees."""
+    return schema_from_ctypes(ctypes_from_blocks(blocks, requested))
+
+
+def ctypes_from_blocks(
+    blocks: DataFrame,
+    requested: list[str] | None = None,
+    merge: bool = False,
+) -> dict[str, str]:
+    """(column -> ctype) map from the blocks' own metadata.
 
     One driver-side aggregate over the (column, meta) projection — parquet
     column pruning keeps this scan narrow; result is O(columns).
@@ -133,6 +179,12 @@ def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
     scan that matched zero chunks) still get a typed field — core columns
     from their known types, unknown extras as string — so downstream
     filters resolve against an empty result instead of failing analysis.
+
+    ``merge=True`` is additive schema evolution: heterogeneous chunk
+    signatures UNION into one superset schema instead of raising, as long
+    as no column appears with two different ctypes (that still raises —
+    a type change is never guessable). Chunks missing a merged column
+    decode with the typed zero-defaults ``normalize_input`` uses.
     """
     import pyspark.sql.functions as F
 
@@ -162,29 +214,35 @@ def schema_from_blocks(blocks: DataFrame, requested: list[str] | None = None):
             "appended into one blocks dir without distinct partition dirs; "
             "decode refuses to fuse them"
         )
-    if len(sigs) > 1:
+    if len(sigs) > 1 and not merge:
         rendered = sorted(
             str([(e["column"], e["ctype"]) for e in s["sig"]]) for s in sigs
         )
         raise ValueError(
             f"heterogeneous chunk schemas in warehouse ({len(sigs)} distinct "
             "column/ctype sets) — decode refuses to guess; re-encode to one "
-            "schema or decode subsets. Signatures: " + "; ".join(rendered)
+            "schema (jobs/compact.py --merge-schemas unifies additive "
+            "evolution) or decode subsets. Signatures: " + "; ".join(rendered)
         )
-    ctypes = {}
-    if sigs:
-        ctypes = {
-            e["column"]: (e["ctype"] or _CORE_CTYPES.get(e["column"], "str"))
-            for e in sigs[0]["sig"]
-        }
+    ctypes: dict[str, str] = {}
+    for s in sigs:
+        for e in s["sig"]:
+            ct = e["ctype"] or _CORE_CTYPES.get(e["column"], "str")
+            prev = ctypes.setdefault(e["column"], ct)
+            if prev != ct:
+                raise ValueError(
+                    f"column '{e['column']}' appears with two ctypes "
+                    f"({prev} vs {ct}) across chunks — a type CHANGE is "
+                    "never merged; re-encode the offending batch"
+                )
     if not ctypes:  # zero matching blocks: typed empty result
         for c in requested or TRANSCRIPT_COLUMNS:
             ctypes[c] = _CORE_CTYPES.get(c, "str")
-    return schema_from_ctypes(ctypes)
+    return ctypes
 
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
-                  out_schema=None) -> DataFrame:
+                  out_schema=None, merge_schemas: bool = False) -> DataFrame:
     """blocks -> transcripts (row order unspecified; sort to compare).
 
     ``columns`` prunes the decode to the requested columns: only those
@@ -199,12 +257,24 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
     call, pure overhead when the schema is already known. Callers passing
     it take over the heterogeneity guarantee ``schema_from_blocks``
     enforces (manifest signatures carry the same check).
+
+    ``merge_schemas`` opts into additive schema evolution: heterogeneous
+    chunk signatures decode against their UNION schema, with typed
+    zero-defaults for chunks written before a column existed (see
+    ``ctypes_from_blocks``). The strict default stays the loud failure —
+    evolution is a deliberate maintenance action (jobs/compact.py
+    --merge-schemas), not something a read should silently paper over.
     """
     import pyspark.sql.functions as F
 
     blocks = blocks.filter(~F.col("column").startswith("__"))  # markers
     if columns is not None:
         blocks = blocks.filter(F.col("column").isin(list(columns)))
+    if merge_schemas:
+        ctypes = ctypes_from_blocks(blocks, requested=columns, merge=True)
+        return blocks.groupBy(*group_keys(blocks)).applyInArrow(
+            _decode_group_filling(ctypes), schema_from_ctypes(ctypes)
+        )
     if out_schema is None:
         out_schema = schema_from_blocks(blocks, requested=columns)
     return blocks.groupBy(*group_keys(blocks)).applyInArrow(
