@@ -158,8 +158,10 @@ def _routed_rewrite_locked(
     if "epoch" in manifests_all.columns:
         raise RewriteError(
             "streaming (epoch-partitioned) warehouses cannot be rewritten "
-            "in place; use jobs/delete.py --via-compact --out NEW_WH (or "
-            "run jobs/compact.py first)"
+            "in place; compact to a batch warehouse first "
+            "(jobs/compact.py) — for deletes, jobs/delete.py "
+            "--via-compact --out NEW_WH folds the erasure into that "
+            "compaction"
         )
     mods = {
         r["num_partitions"]
