@@ -187,7 +187,14 @@ def encode_best_bool(values: np.ndarray) -> tuple[str, bytes, bytes, dict, int]:
 
 
 _FSST_TRIAL_ROWS = 2048
-_FSST_TRIAL_BYTES = 1 << 18
+# 64KB trial: train already caps its sample at TRAIN_SAMPLE_BYTES (64KB),
+# so a larger trial buffer only inflated the trial's own encode pass
+# (measured 78ms -> 40ms per chunk at 256KB -> 64KB with the same verdict:
+# the compression ratio on a 64KB prefix tracks the full buffer, and the
+# verdict is biased toward raw at smaller samples, which the raw floor
+# keeps safe). The trial is the dominant kernel cost on corpora where
+# FSST loses (guide §1.2: per-task work after the algorithm is right).
+_FSST_TRIAL_BYTES = 1 << 16
 
 
 def fsst_sample_wins_buf(buf: bytes, lengths: np.ndarray) -> bool:
