@@ -177,3 +177,42 @@ def test_upsert_rejects_remote_warehouse(spark, tmp_path):
         "--master", "local[4]",
     ])
     assert code == 2 and rec["status"] == "error" and "local" in rec["error"]
+
+
+def test_upsert_turns_beyond_warehouse_turn_max(spark, wh, tmp_path):
+    """r6 (ADVICE r5): a replacement whose turn_idx exceeds the
+    warehouse's persisted turn_max re-keys rows into partitions beyond
+    the manifest-derived route — the route must extend with the
+    replacement's own turn range (previously a bare assert crash, or
+    silent partition loss under python -O)."""
+    full = read_warehouse(spark, wh)
+    cid = full.select("conv_id").orderBy("conv_id").first()[0]
+    n_total = full.count()
+    n_old = full.filter(F.col("conv_id") == cid).count()
+
+    # turns far past turn_max: spans three 256-turn splits -> extra pids
+    long_rows = [(cid, i, "user", f"long {i}", "", None)
+                 for i in (0, 1, 300, 301, 600)]
+    corrected = spark.createDataFrame(
+        long_rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1700000000000000)))
+    rep = str(tmp_path / "long.parquet")
+    corrected.write.parquet(rep)
+
+    code, rec = _run(upsert_job.main, [
+        "--warehouse", wh, "--input", rep, "--master", "local[4]",
+    ])
+    assert code == 0 and rec["status"] == "ok", rec
+    assert rec["rows_deleted"] == n_old and rec["rows_inserted"] == 5
+
+    after = read_warehouse(spark, wh)
+    assert after.count() == n_total - n_old + 5
+    got = after.filter(F.col("conv_id") == cid).orderBy("turn_idx").collect()
+    assert [r["turn_idx"] for r in got] == [0, 1, 300, 301, 600]
+    # the routed point lookup must see every split's rows
+    assert len(fetch_conversation(spark, wh, cid)) == 5
+    m = spark.read.parquet(f"{wh}/manifests").toPandas()
+    assert m["partition_id"].is_unique
+    assert int(m["n_rows"].sum()) == n_total - n_old + 5

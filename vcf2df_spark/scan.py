@@ -192,6 +192,39 @@ def _route_many(warehouse: str, conv_ids):
     ), shard_dirs
 
 
+def _routing_meta(warehouse: str) -> dict:
+    """Rewrite-planning metadata from ONE driver-side manifests read:
+    ``mods`` (the set of num_partitions values across ALL manifest rows,
+    committed or not — mirroring the rewrite's ambiguity check), ``turn_max``
+    (max persisted turn_max, None when any row lacks it), ``shard_dirs``,
+    and ``has_epoch``. Replaces a Spark distinct+collect job per rewrite
+    with an O(partitions) pyarrow metadata read."""
+    import pyarrow.dataset as pads
+
+    out = {"mods": set(), "turn_max": None, "shard_dirs": None,
+           "has_epoch": False}
+    try:
+        d = pads.dataset(
+            f"{warehouse}/manifests", format="parquet", partitioning="hive"
+        )
+        names = d.schema.names
+        out["has_epoch"] = "epoch" in names
+        cols = [c for c in ("num_partitions", "turn_max", "shard_dirs")
+                if c in names]
+        rows = d.to_table(columns=cols).to_pylist() if cols else []
+    except (FileNotFoundError, OSError):
+        return out
+    if not rows:
+        return out
+    out["mods"] = {r.get("num_partitions") for r in rows}
+    tm = [r.get("turn_max") for r in rows]
+    if None not in tm:
+        out["turn_max"] = max(tm)
+    shard_vals = {r.get("shard_dirs") for r in rows} - {None}
+    out["shard_dirs"] = shard_vals.pop() if len(shard_vals) == 1 else None
+    return out
+
+
 def fetch_conversation(spark: SparkSession, warehouse: str, conv_id: str):
     """Point lookup: one conversation, decoding the minimum possible —
     WITHOUT launching a Spark job.
