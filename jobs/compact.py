@@ -128,7 +128,9 @@ def run_compact(
         "wall_sec": round(time.time() - t0, 2),
     }
     if exclude_conv_ids or drop_where:
-        verdict["rows_deleted"] = int(before["rows"]) - verdict["rows"]
+        # `or 0`: a warehouse with zero conv_id blocks reports None here,
+        # like the after-side guards (ADVICE r5)
+        verdict["rows_deleted"] = int(before["rows"] or 0) - verdict["rows"]
     return verdict
 
 

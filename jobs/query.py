@@ -117,8 +117,10 @@ def main(argv: list[str] | None = None) -> None:
     rows = rows[: args.limit]
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
-    print(json.dumps({"status": "ok",
-                      "rows": f">={args.limit}" if truncated else len(rows),
+    # 'rows' stays numeric (ADVICE r5: a ">=N" string was a JSON type
+    # change for consumers); truncation reads from the 'truncated' flag,
+    # under which 'rows' means "at least this many"
+    print(json.dumps({"status": "ok", "rows": len(rows),
                       "shown": len(rows), "truncated": truncated,
                       "wall_sec": round(time.time() - t0, 2)}))
     if owns_session:
