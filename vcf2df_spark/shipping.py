@@ -11,28 +11,38 @@ registers it via ``addPyFile`` — the programmatic twin of the
 from __future__ import annotations
 
 import os
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
 
 _shipped: set[int] = set()
+_lock = threading.Lock()  # concurrent driver threads (verify.multiset_equal)
 
 
 def ensure_shipped(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _shipped:
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join("/tmp", f"vcf2df_spark_ship_{os.getpid()}.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            "vcf2df_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
-    spark.sparkContext.addPyFile(zip_path)
-    _shipped.add(key)
+    with _lock:
+        if key in _shipped:
+            return
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(
+            "/tmp", f"vcf2df_spark_ship_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zip_path):
+            tmp = f"{zip_path}.tmp-{threading.get_ident()}"
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+                for root, _, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.join(
+                                "vcf2df_spark",
+                                os.path.relpath(full, pkg_dir),
+                            )
+                            z.write(full, rel)
+            os.replace(tmp, zip_path)
+        spark.sparkContext.addPyFile(zip_path)
+        _shipped.add(key)

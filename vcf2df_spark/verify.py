@@ -52,11 +52,26 @@ def _signature(df: DataFrame):
 
 
 def multiset_equal(left: DataFrame, right: DataFrame) -> dict:
-    """Order-insensitive multiset equality over all shared columns."""
+    """Order-insensitive multiset equality over all shared columns.
+
+    The two signature aggregates are independent Spark jobs — submitted
+    from two driver threads so the cheaper side's tasks back-fill the
+    other's idle executors (guide §2.6) instead of running back to back.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     cols_equal = set(left.columns) == set(right.columns)
     common = sorted(set(left.columns) & set(right.columns))
     left, right = left.select(*common), right.select(*common)
-    l, r = _signature(left), _signature(right)
+    spark = left.sparkSession
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fl = pool.submit(inheritable_thread_target(spark)(
+            lambda: _signature(left)))
+        fr = pool.submit(inheritable_thread_target(spark)(
+            lambda: _signature(right)))
+        l, r = fl.result(), fr.result()
     return {
         "equal": cols_equal and (l.n, l.h_xor, l.h_sum) == (r.n, r.h_xor, r.h_sum),
         "rows_left": l.n,
