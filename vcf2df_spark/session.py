@@ -23,17 +23,17 @@ def get_spark(master: str | None = None, app_name: str = "vcf2df_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE's coalescing floor (default 1m) is sized for JVM row work;
-        # our post-shuffle stages run Arrow->Python compression kernels at
-        # ~100ms per MB of input, so a 1MB floor caps a CPU-bound stage at
-        # totalBytes/1MB tasks and under-subscribes cores exactly when the
-        # per-stage data is small relative to the machine (measured: the
-        # sf0.1 encode ran 18 tasks on 32 cores). At production shuffle
-        # sizes partitions are advisory-size bound and the floor is
-        # irrelevant, so lowering it is scale-neutral. Env-overridable.
+        # AQE's coalescing floor stays at its 1m default ON PURPOSE
+        # (measured, r6): lowering it to 64k doubled the encode stage's
+        # task count (18 -> 33 on the sf0.1 bench) but bought nothing —
+        # after the FSST-trial fix the stage is JVM<->Arrow transfer
+        # bound, not kernel bound — while the extra output files taxed
+        # every later datasource read (+0.04-0.10s each) and cost 1.5%
+        # disk (page-zstd loses cross-chunk sharing). Override via env
+        # SPARK_GRAFT_AQE_MIN_PARTITION if a future kernel gets heavier.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"),
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
