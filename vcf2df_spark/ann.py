@@ -152,16 +152,31 @@ def assignment_expr(
     return lambda vec, vnorm: _assign_cell(vec, vnorm, cents, cnorms)
 
 
+def _fold_norm(values) -> float:
+    """Bit-exact driver-side twin of ``_norm``: the engine fold is a
+    sequential left-to-right double accumulation of x*x followed by
+    Math.sqrt — Python floats ARE IEEE doubles and this loop performs
+    the identical operations in the identical order (and sqrt is
+    correctly rounded on both sides), so the result matches the
+    in-engine fold to the last ulp. A numpy norm would NOT (pairwise /
+    SIMD summation reorders the adds) — that is the divergence the old
+    per-call Spark job (createDataFrame + interpreted fold + collect,
+    ~0.3-1.2s, twice per build_index) existed to avoid; this keeps the
+    guarantee without the jobs (r6)."""
+    import math
+
+    acc = 0.0
+    for x in values:
+        v = float(x)
+        acc = acc + v * v
+    return math.sqrt(acc)
+
+
 def _centroid_norms(spark: SparkSession, cents: list) -> list:
-    """Norms via the same in-engine fold as every other similarity (a
-    driver-side numpy norm could differ in the last ulp and flip a
-    rounded argmax)."""
-    df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
-    )
-    rows = df.select("cell", _norm(F.col("centroid")).alias("n")).collect()
-    return [r["n"] for r in sorted(rows, key=lambda r: r["cell"])]
+    """Norms via the same accumulation order as every other in-engine
+    similarity (see ``_fold_norm``); ``spark`` kept for call-site
+    compatibility."""
+    return [_fold_norm(c) for c in cents]
 
 
 def build_index(
@@ -534,8 +549,7 @@ def probe(
     """
     q = [float(x) for x in query_vec]
     cents = spark.read.parquet(f"{index}/centroids.parquet")
-    qn_df = spark.createDataFrame([(q,)], "q array<double>")
-    qnorm = qn_df.select(_norm(F.col("q")).alias("n")).collect()[0]["n"]
+    qnorm = _fold_norm(q)  # bit-exact twin of the in-engine fold
     scored = (
         cents.select(
             "cell",

@@ -612,14 +612,35 @@ def q_contamination(spark, sf_dir):
 # document). The loop is a DataFrame join per iteration — O(diameter)
 # rounds; near-dup graphs are shallow (pairs/triples), so 2-3 rounds.
 # The DuckDB oracle computes the same closure with WITH RECURSIVE.
+#
+# r6: the iteration runs over EDGE-TOUCHED vertices only. A document
+# with no near-dup edge can never change label (its neighbor-min is
+# null, least(label, coalesce(null, label)) = label = doc_id), so
+# looping over the whole corpus made every round O(corpus) for an
+# O(edge-vertices) computation — at 100 TB the near-dup vertex set is
+# orders of magnitude smaller than the corpus by construction (banded
+# LSH + hot-band cap bound the edges). Isolated docs re-enter as their
+# own singleton clusters in the final aggregate, which is exactly what
+# the fixpoint computed for them anyway — the result is identical.
 
 def q_dup_clusters(spark, sf_dir):
     edges = q_near_dup_verdicts(spark, sf_dir).select("doc_a", "doc_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # localCheckpoint, not cache (r6, guide §5): a cached iteration keeps
+    # the ENTIRE LSH pipeline in every round's LOGICAL plan, so Catalyst
+    # re-analysis grew per round (measured: round times doubling 2 -> 14s
+    # while the data stayed tiny) and cached plans also forgo AQE
+    # coalescing. Checkpointing truncates the plan to a leaf: constant
+    # per-round planning, AQE-coalesced tiny shuffles. (Checkpointed
+    # blocks die with an executor — acceptable for a bounded query; the
+    # loop raises rather than returning partial labels anyway.)
     und = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).cache()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+    touched = und.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
     # convergence detector: labels only ever DECREASE (least of mins), so
     # sum(label) is strictly decreasing until fixpoint — one aggregate
     # action per round, no self-join against the previous labels (which
@@ -638,24 +659,29 @@ def q_dup_clusters(spark, sf_dir):
                 "doc_id",
                 F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
-    und.unpersist()
     if not converged:  # never return silently-wrong clusters
         raise RuntimeError("dup_clusters: label propagation did not "
                            "converge within 20 rounds (graph diameter > 20)")
-    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
-        F.count("*").alias("n_docs")
-    )
+    # isolated docs rejoin as their own singleton labels — the exact
+    # value the full-corpus fixpoint assigned them. Anti-join against the
+    # CACHED final labels (same doc_id set as `touched`, but touched's
+    # lineage goes through the just-unpersisted und — using it here would
+    # re-run the whole LSH pipeline when the caller finally acts).
+    isolated = docs.join(labels.select("doc_id"), "doc_id", "left_anti")\
+        .select("doc_id", F.col("doc_id").alias("label"))
+    return labels.unionByName(isolated).groupBy(
+        F.col("label").alias("cluster_id")
+    ).agg(F.count("*").alias("n_docs"))
 
 
 # --- rarity-weighted top terms per source (TF-IDF-shaped ranking) ---------------
